@@ -1,0 +1,65 @@
+"""Configuration dataclasses.
+
+The reference has no config system — every knob is a public field or macro
+edited in ``src/main.cpp`` (README.md:19-20). Here each knob catalogued in
+SURVEY.md §5 becomes a config field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Thin-lens physical camera (src/core/camera.hpp:10-165)."""
+
+    image_size: Tuple[int, int] = (512, 512)  # (width, height) pixels
+    focal_length: float = 35.0  # mm
+    f_number: float = 0.0  # 0 disables depth of field
+    sensor_size: Tuple[float, float] = (36.0, 24.0)  # mm, 35mm full frame
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    forward: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    exposure: float = 0.0  # EV stops, applied as 2**exposure to samples
+    aperture_sides: int = 0  # 0 = circular aperture, >=3 = bladed
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render/integrator/scheduler knobs.
+
+    Defaults mirror the reference's hardcoded values:
+    - max_depth=30 (src/cpu/ray-integrator.hpp:14)
+    - GMoN m_max=15 (src/cpu/integrator.cpp:17)
+    - regularization threshold 0.5 (src/cpu/mis-integrator.cpp:3)
+    - waves double from first_wave_samples up to max_wave_samples
+      (src/cpu/tile-renderer.hpp:104-108)
+    """
+
+    samples: int = 64
+    max_depth: int = 30
+    integrator: str = "mis"  # "mis" | "naive"
+    sampler: str = "zsobol"  # "zsobol" | "hash" | "stratified"
+    estimator: str = "gmon"  # "gmon" | "gmonb" | "mon" | "mean"
+    estimator_buckets: int = 15
+    regularize_threshold: float = 0.5
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    first_wave_samples: int = 1
+    max_wave_samples: int = 16
+    tonemap: str = "agx"  # "agx" | "none"
+    agx_look: str = "none"  # "none" | "golden" | "punchy"
+    rr_start_depth: int = 2  # roulette from depth 2 (mis-integrator.cpp:98)
+    # TPU execution knobs (no reference analog):
+    lane_chunk: Optional[int] = None  # rays per device dispatch; None = whole wave
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHConfig:
+    """SAH build knobs (src/core/bvh.hpp:14,283)."""
+
+    max_leaf_size: int = 8
+    n_bins: int = 20
+    branching: int = 4  # flattened wide-BVH arity for the TPU traversal
