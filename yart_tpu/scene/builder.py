@@ -1,0 +1,373 @@
+"""Host-side scene builder -> CompiledScene.
+
+Replaces the reference's build-a-graph-in-main approach (src/main.cpp:19-107,
+src/core/scene.hpp:11-169): meshes are added with optional 4x4 transforms,
+pre-transformed to world space, concatenated, and compiled into flat device
+arrays with one global SAH BVH, a material table, an area-light power table
+(src/core/light-sampler.cpp:32-50) and an env-map sampling distribution
+(src/core/light.cpp:156-193).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from yart_tpu.ops.distribution import Dist2D, build_dist2d
+from yart_tpu.scene.bvh import build_bvh
+from yart_tpu.scene.types import (
+    CompiledScene,
+    FlatBVH,
+    MaterialTable,
+    SceneMeta,
+    TextureStack,
+)
+
+_PI = float(np.pi)
+
+
+@dataclasses.dataclass
+class MaterialDesc:
+    """Host-side material description (parametric.hpp:16-37 parameters)."""
+
+    base_color: tuple = (0.8, 0.8, 0.8, 1.0)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    transmission: float = 0.0
+    ior: float = 1.5
+    anisotropic: float = 0.0
+    aniso_rotation: float = 0.0
+    clearcoat: float = 0.0
+    cc_roughness: float = 0.0
+    emission: tuple = (0.0, 0.0, 0.0)
+    emission_strength: float = 1.0
+    normal_scale: float = 1.0
+    thin: bool = True  # thinTransmission: gltf loader hardcodes true (gltf.cpp:104-105)
+    volume_color: tuple = (1.0, 1.0, 1.0)
+    volume_density: float = 0.0
+    # Texture slots (indices into the builder's per-kind stacks; -1 = none)
+    tex_base: int = -1
+    tex_mr: int = -1
+    tex_transmission: int = -1
+    tex_normal: int = -1
+    tex_clearcoat: int = -1
+    tex_emission: int = -1
+    has_alpha: bool = False
+
+    @property
+    def is_emissive(self) -> bool:
+        e = np.asarray(self.emission, np.float32) * self.emission_strength
+        return bool(np.any(e > 0.0)) or self.tex_emission >= 0
+
+
+def _empty_stack(channels: int) -> TextureStack:
+    return TextureStack(
+        data=jnp.zeros((0, 1, 1, channels), jnp.float32),
+        size=jnp.zeros((0, 2), jnp.int32),
+    )
+
+
+def _stack_from_list(textures: List[np.ndarray], channels: int) -> TextureStack:
+    """Pad a list of [H, W, C] arrays to a common size (edge-repeat semantics
+    live in the sampler via true-size wrapping, not the padding)."""
+    if not textures:
+        return _empty_stack(channels)
+    h = max(t.shape[0] for t in textures)
+    w = max(t.shape[1] for t in textures)
+    data = np.zeros((len(textures), h, w, channels), np.float32)
+    size = np.zeros((len(textures), 2), np.int32)
+    for i, t in enumerate(textures):
+        data[i, : t.shape[0], : t.shape[1]] = t
+        size[i] = (t.shape[1], t.shape[0])  # (w, h)
+    return TextureStack(jnp.asarray(data), jnp.asarray(size))
+
+
+class SceneBuilder:
+    def __init__(self) -> None:
+        self._materials: List[MaterialDesc] = []
+        self._positions: List[np.ndarray] = []
+        self._normals: List[np.ndarray] = []
+        self._tangents: List[np.ndarray] = []
+        self._uvs: List[np.ndarray] = []
+        self._tris: List[np.ndarray] = []
+        self._tri_mat: List[np.ndarray] = []
+        self._vtx_offset = 0
+        self._env_image: Optional[np.ndarray] = None
+        self._env_scale = 1.0
+        self._background = (0.0, 0.0, 0.0)
+        # Texture stacks: storage-encoded [H, W, C] float arrays.
+        self.textures_rgba: List[np.ndarray] = []
+        self.textures_rgb: List[np.ndarray] = []
+        self.textures_2ch: List[np.ndarray] = []
+        self.textures_mono: List[np.ndarray] = []
+
+    # -- authoring ---------------------------------------------------------
+
+    def add_material(self, **kwargs) -> int:
+        self._materials.append(MaterialDesc(**kwargs))
+        return len(self._materials) - 1
+
+    def add_material_desc(self, desc: MaterialDesc) -> int:
+        self._materials.append(desc)
+        return len(self._materials) - 1
+
+    def add_texture(self, kind: str, data: np.ndarray) -> int:
+        """kind in {rgba, rgb, 2ch, mono}; data already storage-encoded."""
+        stack = {
+            "rgba": self.textures_rgba,
+            "rgb": self.textures_rgb,
+            "2ch": self.textures_2ch,
+            "mono": self.textures_mono,
+        }[kind]
+        stack.append(np.asarray(data, np.float32))
+        return len(stack) - 1
+
+    def add_mesh(
+        self,
+        positions: np.ndarray,
+        indices: np.ndarray,
+        material,
+        normals: Optional[np.ndarray] = None,
+        uvs: Optional[np.ndarray] = None,
+        tangents: Optional[np.ndarray] = None,
+        transform: Optional[np.ndarray] = None,
+    ) -> None:
+        """Add a triangle mesh instance, pre-transformed to world space.
+
+        material: scalar material index or per-face [T] array.
+        transform: optional [4, 4] row-major affine matrix.
+        """
+        positions = np.asarray(positions, np.float64).reshape(-1, 3)
+        indices = np.asarray(indices, np.int64).reshape(-1, 3)
+        nv = positions.shape[0]
+
+        if normals is None:
+            normals = _face_normals_to_vertices(positions, indices)
+        normals = np.asarray(normals, np.float64).reshape(nv, 3)
+        if uvs is None:
+            uvs = np.zeros((nv, 2), np.float64)
+        uvs = np.asarray(uvs, np.float64).reshape(nv, 2)
+        if tangents is None:
+            tangents = np.zeros((nv, 4), np.float64)
+            tangents[:, 0] = 1.0
+            tangents[:, 3] = 1.0
+        tangents = np.asarray(tangents, np.float64).reshape(nv, 4)
+
+        if transform is not None:
+            m = np.asarray(transform, np.float64).reshape(4, 4)
+            positions = positions @ m[:3, :3].T + m[:3, 3]
+            # Normals use the inverse-transpose (src/math/transform.hpp:46-52).
+            nrm_m = np.linalg.inv(m[:3, :3]).T
+            normals = normals @ nrm_m.T
+            n_len = np.linalg.norm(normals, axis=-1, keepdims=True)
+            normals = normals / np.maximum(n_len, 1e-20)
+            t_xyz = tangents[:, :3] @ m[:3, :3].T
+            t_len = np.linalg.norm(t_xyz, axis=-1, keepdims=True)
+            tangents = np.concatenate(
+                [t_xyz / np.maximum(t_len, 1e-20), tangents[:, 3:]], axis=1
+            )
+
+        t = indices.shape[0]
+        mat = np.broadcast_to(np.asarray(material, np.int32), (t,)).copy()
+
+        self._positions.append(positions.astype(np.float32))
+        self._normals.append(normals.astype(np.float32))
+        self._tangents.append(tangents.astype(np.float32))
+        self._uvs.append(uvs.astype(np.float32))
+        self._tris.append((indices + self._vtx_offset).astype(np.int32))
+        self._tri_mat.append(mat)
+        self._vtx_offset += nv
+
+    def set_env(self, image: np.ndarray, scale: float = 1.0) -> None:
+        """Octahedral-projected HDR environment image [H, W, 3]
+        (the reference stores env maps octahedrally, src/main.cpp:81-84)."""
+        self._env_image = np.asarray(image, np.float32)
+        self._env_scale = float(scale)
+
+    def set_background(self, color) -> None:
+        self._background = tuple(color)
+
+    # -- compile -----------------------------------------------------------
+
+    def compile(self, max_leaf: int = 4, n_bins: int = 20):
+        assert self._tris, "scene has no geometry"
+        positions = np.concatenate(self._positions)
+        normals = np.concatenate(self._normals)
+        tangents = np.concatenate(self._tangents)
+        uvs = np.concatenate(self._uvs)
+        tri_v = np.concatenate(self._tris)
+        tri_mat = np.concatenate(self._tri_mat)
+
+        v0 = positions[tri_v[:, 0]]
+        v1 = positions[tri_v[:, 1]]
+        v2 = positions[tri_v[:, 2]]
+        hb = build_bvh(v0, v1, v2, max_leaf=max_leaf, n_bins=n_bins)
+
+        # Permute triangles into leaf order.
+        tri_v = tri_v[hb.tri_order]
+        tri_mat = tri_mat[hb.tri_order]
+        v0, v1, v2 = v0[hb.tri_order], v1[hb.tri_order], v2[hb.tri_order]
+
+        # Area lights: every triangle of an emissive material
+        # (gltf.cpp:299-314), with globally-unique light indices.
+        emissive_mats = np.asarray(
+            [m.is_emissive for m in self._materials], bool
+        )
+        is_light = emissive_mats[tri_mat] if len(self._materials) else np.zeros(len(tri_mat), bool)
+        light_tri = np.nonzero(is_light)[0].astype(np.int32)
+        tri_light = np.full(tri_v.shape[0], -1, np.int32)
+        tri_light[light_tri] = np.arange(light_tri.size, dtype=np.int32)
+
+        emission_table = np.asarray(
+            [
+                np.asarray(m.emission, np.float32) * np.float32(m.emission_strength)
+                for m in self._materials
+            ]
+            or np.zeros((0, 3), np.float32),
+            np.float32,
+        )
+        l_emission = emission_table[tri_mat[light_tri]] if light_tri.size else np.zeros((0, 3), np.float32)
+        e1 = v1[light_tri] - v0[light_tri]
+        e2 = v2[light_tri] - v0[light_tri]
+        l_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).astype(np.float32)
+        two_sided = np.zeros(light_tri.size, bool)  # reference default (light.hpp:78)
+        # power = |Le| * A * pi * (2 if twoSided) (light.cpp:36-38)
+        l_power = (
+            np.linalg.norm(l_emission, axis=-1)
+            * l_area
+            * _PI
+            * np.where(two_sided, 2.0, 1.0)
+        ).astype(np.float32)
+        l_cdf = np.concatenate([[0.0], np.cumsum(l_power)]).astype(np.float32)
+
+        # Scene bounds and radius (bounding sphere of the root AABB).
+        lo = positions.min(axis=0)
+        hi = positions.max(axis=0)
+        center = (lo + hi) * 0.5
+        radius = float(np.linalg.norm(hi - lo) * 0.5)
+
+        # Environment light (light.cpp:137-193).
+        if self._env_image is not None:
+            env_img = self._env_image * self._env_scale
+            h, w = env_img.shape[:2]
+            # Octahedral maps cover the full sphere uniformly in area, so no
+            # sin(theta) weight (the reference's sinTheta term at
+            # light.cpp:157-168 is an acknowledged leftover from equirect —
+            # "TODO: do we need the sine term?"; we weight by mean RGB only).
+            weight = env_img.mean(axis=-1)
+            env_dist = build_dist2d(weight)
+            env_lavg = env_img.reshape(-1, 3).mean(axis=0)
+            env_power = 4.0 * _PI * _PI * radius * radius * float(env_lavg.mean())
+            has_env = True
+        else:
+            env_img = np.zeros((1, 1, 3), np.float32)
+            env_dist = build_dist2d(np.ones((1, 1), np.float32))
+            env_lavg = np.zeros(3, np.float32)
+            env_power = 0.0
+            has_env = False
+
+        materials = _material_table(self._materials)
+
+        scene = CompiledScene(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            tangents=jnp.asarray(tangents),
+            uvs=jnp.asarray(uvs),
+            tri_v=jnp.asarray(tri_v),
+            tri_mat=jnp.asarray(tri_mat),
+            tri_light=jnp.asarray(tri_light),
+            bvh=FlatBVH(
+                node_min=jnp.asarray(hb.node_min),
+                node_max=jnp.asarray(hb.node_max),
+                left=jnp.asarray(hb.left),
+                count=jnp.asarray(hb.count),
+            ),
+            materials=materials,
+            light_tri=jnp.asarray(light_tri),
+            light_emission=jnp.asarray(l_emission),
+            light_area=jnp.asarray(l_area),
+            light_power=jnp.asarray(l_power),
+            light_cdf=jnp.asarray(l_cdf),
+            light_two_sided=jnp.asarray(two_sided),
+            env_image=jnp.asarray(env_img),
+            env_dist=env_dist,
+            env_lavg=jnp.asarray(env_lavg, jnp.float32),
+            env_power=jnp.asarray(env_power, jnp.float32),
+            tex_rgba=_stack_from_list(self.textures_rgba, 4),
+            tex_rgb=_stack_from_list(self.textures_rgb, 3),
+            tex_2ch=_stack_from_list(self.textures_2ch, 2),
+            tex_mono=_stack_from_list(self.textures_mono, 1),
+            scene_center=jnp.asarray(center, jnp.float32),
+            scene_radius=jnp.asarray(radius, jnp.float32),
+            background=jnp.asarray(self._background, jnp.float32),
+        )
+        meta = SceneMeta(
+            n_tris=int(tri_v.shape[0]),
+            n_materials=len(self._materials),
+            n_lights=int(light_tri.size),
+            has_env=has_env,
+            max_leaf=max_leaf,
+            bvh_depth=hb.depth,
+            any_alpha=any(m.has_alpha for m in self._materials),
+            any_textures=any(
+                m.tex_base >= 0
+                or m.tex_mr >= 0
+                or m.tex_transmission >= 0
+                or m.tex_normal >= 0
+                or m.tex_clearcoat >= 0
+                or m.tex_emission >= 0
+                for m in self._materials
+            ),
+        )
+        return scene, meta
+
+
+def _material_table(mats: List[MaterialDesc]) -> MaterialTable:
+    if not mats:
+        mats = [MaterialDesc()]
+    f32 = lambda rows: jnp.asarray(np.asarray(rows, np.float32))
+    i32 = lambda rows: jnp.asarray(np.asarray(rows, np.int32))
+    return MaterialTable(
+        base_color=f32([m.base_color for m in mats]),
+        metallic=f32([m.metallic for m in mats]),
+        roughness=f32([m.roughness for m in mats]),
+        transmission=f32([m.transmission for m in mats]),
+        ior=f32([m.ior for m in mats]),
+        anisotropic=f32([m.anisotropic for m in mats]),
+        aniso_rotation=f32([m.aniso_rotation for m in mats]),
+        clearcoat=f32([m.clearcoat for m in mats]),
+        cc_roughness=f32([m.cc_roughness for m in mats]),
+        emission=f32(
+            [
+                np.asarray(m.emission, np.float32) * np.float32(m.emission_strength)
+                for m in mats
+            ]
+        ),
+        normal_scale=f32([m.normal_scale for m in mats]),
+        thin=jnp.asarray([m.thin for m in mats]),
+        volume_color=f32([m.volume_color for m in mats]),
+        volume_density=f32([m.volume_density for m in mats]),
+        tex_base=i32([m.tex_base for m in mats]),
+        tex_mr=i32([m.tex_mr for m in mats]),
+        tex_transmission=i32([m.tex_transmission for m in mats]),
+        tex_normal=i32([m.tex_normal for m in mats]),
+        tex_clearcoat=i32([m.tex_clearcoat for m in mats]),
+        tex_emission=i32([m.tex_emission for m in mats]),
+        has_alpha=jnp.asarray([m.has_alpha for m in mats]),
+    )
+
+
+def _face_normals_to_vertices(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals for meshes without authored normals."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    out = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(out, indices[:, k], fn)
+    n = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(n, 1e-20)

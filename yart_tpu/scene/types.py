@@ -1,0 +1,142 @@
+"""Compiled scene: flat SoA device arrays.
+
+The reference keeps a pointer-based scene graph (src/core/scene.hpp:11-169)
+with per-node transforms, per-mesh BVHs and virtual BSDF/Light objects, and
+transforms rays into object space during traversal
+(src/cpu/ray-integrator.cpp:20-54). The TPU design instead *compiles* the
+scene once on the host:
+
+- every mesh instance is pre-transformed to world space and concatenated into
+  one global triangle soup (no per-node ray transforms in the hot loop),
+- ONE global SAH BVH over all world-space triangles replaces per-mesh BVHs +
+  scene-graph recursion (reference is bottom-level-only, README.md:46),
+- materials become a `[M, P]` parameter table (the GLTF loader only ever
+  constructs ParametricBSDF, src/gltf/gltf.cpp:152-175, so one uber-material
+  table is lossless),
+- emissive triangles become rows of an area-light table with a power CDF
+  (src/core/light.cpp:16-81, light-sampler.cpp:32-93),
+- the environment light is an octahedral image + piecewise-constant 2D
+  distribution (src/core/light.cpp:137-242).
+
+Everything in `CompiledScene` is a jnp array (a valid pytree, shardable /
+donate-able); static python metadata lives in `SceneMeta`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from yart_tpu.ops.distribution import Dist2D
+
+
+class MaterialTable(NamedTuple):
+    """Parametric uber-material parameters, one row per material
+    (src/bsdf/parametric.hpp:16-37). All leading dims [M]."""
+
+    base_color: jnp.ndarray  # [M, 4] rgba factor
+    metallic: jnp.ndarray  # [M]
+    roughness: jnp.ndarray  # [M]
+    transmission: jnp.ndarray  # [M]
+    ior: jnp.ndarray  # [M]
+    anisotropic: jnp.ndarray  # [M]
+    aniso_rotation: jnp.ndarray  # [M] revolutions
+    clearcoat: jnp.ndarray  # [M]
+    cc_roughness: jnp.ndarray  # [M]
+    emission: jnp.ndarray  # [M, 3] (already scaled by emission strength)
+    normal_scale: jnp.ndarray  # [M]
+    thin: jnp.ndarray  # [M] bool: thin transmission
+    volume_color: jnp.ndarray  # [M, 3]
+    volume_density: jnp.ndarray  # [M]
+    # Texture slot indices into the texture stacks; -1 = untextured.
+    tex_base: jnp.ndarray  # [M] RGBA
+    tex_mr: jnp.ndarray  # [M] 2ch (metallic, roughness)
+    tex_transmission: jnp.ndarray  # [M] mono
+    tex_normal: jnp.ndarray  # [M] RGB
+    tex_clearcoat: jnp.ndarray  # [M] mono
+    tex_emission: jnp.ndarray  # [M] RGB
+    has_alpha: jnp.ndarray  # [M] bool (parametric.cpp:59-62)
+
+
+class TextureStack(NamedTuple):
+    """Fixed-size stack of equally-padded textures for one channel count.
+
+    Textures are resampled/padded host-side to a common [H, W] so a traced
+    texture index selects a slice — the TPU analog of the reference's typed
+    texture pools (src/core/scene.hpp:120-169). Data is stored in the
+    reference's storage encoding (gamma-2 for sRGB color, linear otherwise,
+    texture.hpp:80-84).
+    """
+
+    data: jnp.ndarray  # [n_tex, H, W, C] float32 storage-encoded
+    size: jnp.ndarray  # [n_tex, 2] int32 true (w, h) before padding
+
+
+class FlatBVH(NamedTuple):
+    """Flattened binary SAH BVH (reference node: src/core/bvh.hpp:21-33).
+
+    Inner node i: children at left[i] and left[i]+1, count[i] == 0.
+    Leaf node i:  triangles [left[i], left[i]+count[i]) — triangle arrays are
+    permuted at compile time so each leaf is contiguous.
+    """
+
+    node_min: jnp.ndarray  # [N, 3]
+    node_max: jnp.ndarray  # [N, 3]
+    left: jnp.ndarray  # [N] int32
+    count: jnp.ndarray  # [N] int32
+
+
+class CompiledScene(NamedTuple):
+    """The full scene as one pytree of device arrays."""
+
+    # Geometry (world space, SoA; reference: src/core/mesh.hpp:15-128)
+    positions: jnp.ndarray  # [V, 3]
+    normals: jnp.ndarray  # [V, 3]
+    tangents: jnp.ndarray  # [V, 4] xyz + handedness w
+    uvs: jnp.ndarray  # [V, 2]
+    tri_v: jnp.ndarray  # [T, 3] int32 vertex indices
+    tri_mat: jnp.ndarray  # [T] int32
+    tri_light: jnp.ndarray  # [T] int32, -1 = not emissive
+    bvh: FlatBVH
+
+    materials: MaterialTable
+
+    # Area lights (src/core/light.cpp:16-81)
+    light_tri: jnp.ndarray  # [L] int32 triangle index
+    light_emission: jnp.ndarray  # [L, 3]
+    light_area: jnp.ndarray  # [L] world-space area
+    light_power: jnp.ndarray  # [L] scalar power for the sampler
+    light_cdf: jnp.ndarray  # [L+1] cumulative power, unnormalized
+    light_two_sided: jnp.ndarray  # [L] bool
+
+    # Environment light (octahedral; src/core/light.cpp:137-242)
+    env_image: jnp.ndarray  # [H, W, 3] linear HDR (1x1 zeros if absent)
+    env_dist: Dist2D
+    env_lavg: jnp.ndarray  # [3]
+    env_power: jnp.ndarray  # []
+
+    # Texture stacks by channel count; empty stacks have n_tex == 0.
+    tex_rgba: TextureStack
+    tex_rgb: TextureStack
+    tex_2ch: TextureStack
+    tex_mono: TextureStack
+
+    scene_center: jnp.ndarray  # [3]
+    scene_radius: jnp.ndarray  # []
+    background: jnp.ndarray  # [3] (src/core/renderer.hpp:52)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (python) scene facts that control tracing/compilation."""
+
+    n_tris: int
+    n_materials: int
+    n_lights: int
+    has_env: bool
+    max_leaf: int
+    bvh_depth: int  # max traversal stack depth needed
+    any_alpha: bool = False  # any material has alpha-tested transparency
+    any_textures: bool = False
