@@ -1,0 +1,121 @@
+"""End-to-end render tests: furnace energy conservation, Cornell box
+structure, determinism, checkpoint resume (SURVEY.md §4.2-4.3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yart_tpu.config import CameraConfig, RenderConfig
+from yart_tpu.render.renderer import Renderer, wave_plan
+from yart_tpu.scene.procedural import cornell_box, furnace
+
+SMALL = dict(first_wave_samples=16, max_wave_samples=16)
+
+
+@pytest.fixture(scope="module")
+def furnace_scene():
+    return furnace(env_value=0.5).compile()
+
+
+@pytest.fixture(scope="module")
+def cornell_scene():
+    return cornell_box().compile()
+
+
+def furnace_cam(n=24):
+    return CameraConfig(
+        image_size=(n, n), focal_length=30.0, position=(0, 0, 3.5),
+        forward=(0, 0, -3.5),
+    )
+
+
+def cornell_cam(n=32):
+    return CameraConfig(
+        image_size=(n, n), focal_length=28.0, position=(0, 1.0, 3.4),
+        forward=(0, 0, -1),
+    )
+
+
+def test_furnace_white(furnace_scene):
+    """White diffuse sphere in a 0.5 env must disappear (energy conserved)."""
+    scene, meta = furnace_scene
+    cfg = RenderConfig(samples=32, max_depth=16, tonemap="none",
+                       estimator="mean", first_wave_samples=32,
+                       max_wave_samples=32)
+    res = Renderer(scene, meta, furnace_cam(), cfg).render()
+    img = res.hdr
+    assert np.isfinite(img).all()
+    center = img[9:15, 9:15]
+    # Within a few percent of the env: the sphere is invisible.
+    assert abs(center.mean() - 0.5) < 0.03, center.mean()
+
+
+def test_cornell_structure(cornell_scene):
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=16, max_depth=6, tonemap="none",
+                       estimator="mean", **SMALL)
+    res = Renderer(scene, meta, cornell_cam(), cfg).render()
+    img = res.hdr
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01  # not black
+    left = img[8:24, :6].mean(axis=(0, 1))
+    right = img[8:24, -6:].mean(axis=(0, 1))
+    assert left[0] > left[1] * 1.5, left  # red wall
+    assert right[1] > right[0] * 1.5, right  # green wall
+
+
+def test_determinism(cornell_scene):
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=4, max_depth=4, tonemap="none",
+                       estimator="mean", first_wave_samples=4,
+                       max_wave_samples=4)
+    r1 = Renderer(scene, meta, cornell_cam(16), cfg).render().hdr
+    r2 = Renderer(scene, meta, cornell_cam(16), cfg).render().hdr
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_wave_plan():
+    assert wave_plan(64, 1, 16) == [1, 2, 4, 8, 16, 16, 16, 1]
+    assert wave_plan(4, 4, 16) == [4]
+    assert wave_plan(1, 1, 16) == [1]
+    assert sum(wave_plan(2048, 1, 16)) == 2048
+
+
+def test_checkpoint_resume(tmp_path, cornell_scene):
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=8, max_depth=4, tonemap="none",
+                       estimator="mean", first_wave_samples=4,
+                       max_wave_samples=4)
+    ck = str(tmp_path / "ck.npz")
+    # Full render in one go.
+    full = Renderer(scene, meta, cornell_cam(16), cfg).render().hdr
+
+    # Render first wave only, checkpointing.
+    cfg_half = RenderConfig(samples=4, max_depth=4, tonemap="none",
+                            estimator="mean", first_wave_samples=4,
+                            max_wave_samples=4)
+    r = Renderer(scene, meta, cornell_cam(16), cfg_half)
+    r.render(checkpoint=ck)
+    assert os.path.exists(ck)
+
+    # Resume to the full sample count.
+    r2 = Renderer(scene, meta, cornell_cam(16), cfg)
+    resumed = r2.render(checkpoint=ck).hdr
+    np.testing.assert_allclose(resumed, full, atol=1e-5)
+
+
+def test_naive_vs_mis_agree(cornell_scene):
+    """The naive integrator is the correctness oracle for MIS
+    (src/main.cpp:17, SURVEY.md §4): both must converge to the same image."""
+    scene, meta = cornell_scene
+    base = dict(max_depth=5, tonemap="none", estimator="mean",
+                first_wave_samples=64, max_wave_samples=64)
+    cfg_mis = RenderConfig(samples=64, integrator="mis", **base)
+    cfg_nai = RenderConfig(samples=64, integrator="naive", seed=1, **base)
+    img_m = Renderer(scene, meta, cornell_cam(12), cfg_mis).render().hdr
+    img_n = Renderer(scene, meta, cornell_cam(12), cfg_nai).render().hdr
+    # Naive is noisy at 64spp: compare image means loosely.
+    assert abs(img_m.mean() - img_n.mean()) / max(img_m.mean(), 1e-9) < 0.35, (
+        img_m.mean(), img_n.mean(),
+    )

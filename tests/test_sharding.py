@@ -1,0 +1,72 @@
+"""Mesh-shape invariance: the image must be identical for ANY device mesh
+because samplers are pure functions of (pixel, sample, dim) (SURVEY.md §2.6,
+§4.5). Runs on the 8-device virtual CPU mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yart_tpu.config import CameraConfig, RenderConfig
+from yart_tpu.ops.qmc import make_sampler
+from yart_tpu.parallel.sharding import (
+    device_put_lanes,
+    make_mesh,
+    shard_lanes,
+)
+from yart_tpu.render.camera import build_camera
+from yart_tpu.render.integrator import render_wave
+from yart_tpu.scene.procedural import cornell_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, meta = cornell_box().compile()
+    size = (16, 16)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=28.0,
+                     position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    )
+    cfg = RenderConfig(samples=4, max_depth=4)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    sidx = jnp.zeros_like(px).astype(jnp.uint32)
+
+    def step(px, py, sidx):
+        return render_wave(scene, meta, cam, sampler, cfg, px, py, sidx)
+
+    return step, (px, py, sidx)
+
+
+def test_multi_device_available():
+    assert len(jax.devices()) >= 8, jax.devices()
+
+
+def test_image_invariant_under_mesh_shape(setup):
+    step, (px, py, sidx) = setup
+
+    ref, rays_ref = jax.jit(step)(px, py, sidx)
+    ref = np.asarray(ref)
+
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        pxs, pys, sidxs = device_put_lanes(mesh, px, py, sidx)
+        fn = jax.jit(step, in_shardings=(shard_lanes(mesh),) * 3)
+        out, rays = fn(pxs, pys, sidxs)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+        np.testing.assert_allclose(float(rays), float(rays_ref), rtol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out, rays = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)

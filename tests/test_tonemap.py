@@ -1,0 +1,54 @@
+"""AgX tonemapping + color transfer tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yart_tpu.ops import color, tonemap
+
+
+def test_agx_range_and_monotonic():
+    x = jnp.logspace(-4, 2, 128)[:, None] * jnp.ones((1, 3))
+    y = np.asarray(tonemap.agx(x))
+    assert np.all(y >= 0.0) and np.all(y <= 1.0)
+    assert np.all(np.diff(y[:, 0]) > -1e-6)  # monotone in exposure
+    # Extremes pin near black/white
+    assert y[0].max() < 0.02
+    assert y[-1].min() > 0.9
+
+
+def test_agx_neutral_stays_neutral():
+    x = jnp.full((16, 3), 0.18)
+    y = np.asarray(tonemap.agx(x, "none"))
+    # Grey input stays grey (channel symmetric)
+    np.testing.assert_allclose(y[:, 0], y[:, 1], atol=2e-4)
+    np.testing.assert_allclose(y[:, 1], y[:, 2], atol=2e-4)
+
+
+def test_agx_looks_differ():
+    x = jnp.asarray([[0.2, 0.3, 0.1]])
+    none = np.asarray(tonemap.agx(x, "none"))
+    golden = np.asarray(tonemap.agx(x, "golden"))
+    punchy = np.asarray(tonemap.agx(x, "punchy"))
+    assert not np.allclose(none, golden)
+    assert not np.allclose(none, punchy)
+    # Golden look warms the image: blue slope 0.5 reduces blue relative to red
+    assert golden[0, 2] / max(none[0, 2], 1e-9) < 1.0
+
+
+def test_srgb_roundtrip():
+    v = jnp.linspace(0, 1, 64)
+    rt = np.asarray(color.srgb_decode(color.srgb_encode(v)))
+    np.testing.assert_allclose(rt, np.asarray(v), atol=2e-5)
+
+
+def test_gamma2_storage_roundtrip():
+    lin = np.linspace(0, 1, 32).astype(np.float32)
+    stored = color.gamma2_encode_np(lin)
+    back = np.asarray(color.gamma2_decode(jnp.asarray(stored)))
+    np.testing.assert_allclose(back, lin, atol=1e-6)
+
+
+def test_tonemap_dispatch():
+    x = jnp.ones((2, 3)) * 0.5
+    np.testing.assert_allclose(np.asarray(tonemap.tonemap(x, "none")), 0.5)
+    assert tonemap.tonemap(x, "agx").shape == (2, 3)

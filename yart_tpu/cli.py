@@ -1,0 +1,169 @@
+"""Command-line renderer.
+
+The reference has no CLI — scenes are configured by editing main.cpp and
+rebuilding (README.md:19-20). Every knob catalogued in SURVEY.md §5 is a
+flag here.
+
+Usage:
+    python -m yart_tpu.cli scene.glb -o out.png --spp 256 --size 1280x720
+    python -m yart_tpu.cli cornell -o out.ppm --spp 64 --estimator gmon
+    python -m yart_tpu.cli spheres --env-hdr sky.hdr --look golden
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="yart-tpu", description=__doc__)
+    p.add_argument("scene", help=".gltf/.glb path or procedural name "
+                               "(cornell | cornell-mat | spheres | furnace)")
+    p.add_argument("-o", "--output", default="out.png", help="output image (.png/.ppm)")
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--size", default="512x512", help="WxH")
+    p.add_argument("--max-depth", type=int, default=30)
+    p.add_argument("--integrator", choices=["mis", "naive"], default="mis")
+    p.add_argument("--sampler", choices=["zsobol", "hash"], default="zsobol")
+    p.add_argument("--estimator", choices=["gmon", "gmonb", "mon", "mean"], default="gmon")
+    p.add_argument("--tonemap", choices=["agx", "none"], default="agx")
+    p.add_argument("--look", choices=["none", "golden", "punchy"], default="none")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--exposure", type=float, default=0.0, help="EV stops")
+    p.add_argument("--focal", type=float, default=35.0, help="focal length mm")
+    p.add_argument("--fnumber", type=float, default=0.0, help="aperture f-number, 0 = no DoF")
+    p.add_argument("--aperture-sides", type=int, default=0)
+    p.add_argument("--camera-pos", default=None, help="x,y,z")
+    p.add_argument("--camera-target", default=None, help="x,y,z")
+    p.add_argument("--env-hdr", default=None, help="octahedral HDR env map path")
+    p.add_argument("--env-scale", type=float, default=1.0)
+    p.add_argument("--background", default="0,0,0")
+    p.add_argument("--first-wave", type=int, default=1)
+    p.add_argument("--max-wave", type=int, default=16)
+    p.add_argument("--chunk-pixels", type=int, default=None,
+                   help="pixels per device dispatch (memory knob)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; resume if present, save per wave")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard over this many devices (default: all)")
+    return p.parse_args(argv)
+
+
+def build_scene(args):
+    import numpy as np
+
+    from yart_tpu.scene import procedural
+
+    if args.scene == "cornell":
+        b = procedural.cornell_box()
+    elif args.scene == "cornell-mat":
+        b = procedural.cornell_box(extra_materials=True)
+    elif args.scene == "spheres":
+        b = procedural.material_test_spheres()
+    elif args.scene == "furnace":
+        b = procedural.furnace()
+    else:
+        from yart_tpu.scene.gltf import load
+
+        b = load(args.scene)
+
+    if args.env_hdr:
+        from yart_tpu.io.image import load_hdr
+
+        b.set_env(load_hdr(args.env_hdr), args.env_scale)
+    b.set_background([float(x) for x in args.background.split(",")])
+    return b.compile()
+
+
+def default_camera(args, name):
+    defaults = {
+        "cornell": ((0, 1.0, 3.4), (0, 1.0, 0)),
+        "cornell-mat": ((0, 1.0, 3.4), (0, 1.0, 0)),
+        "spheres": ((0, 2.2, 5.5), (0, 0.4, -0.6)),
+        "furnace": ((0, 0, 3.5), (0, 0, 0)),
+    }
+    pos, target = defaults.get(name, ((0, 1, 4), (0, 1, 0)))
+    if args.camera_pos:
+        pos = tuple(float(x) for x in args.camera_pos.split(","))
+    if args.camera_target:
+        target = tuple(float(x) for x in args.camera_target.split(","))
+    fwd = tuple(t - p for p, t in zip(pos, target))
+    return pos, fwd
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.io.image import write_png, write_ppm
+    from yart_tpu.render.renderer import Renderer
+
+    w, h = (int(x) for x in args.size.lower().split("x"))
+    scene, meta = build_scene(args)
+    pos, fwd = default_camera(args, args.scene)
+
+    cam = CameraConfig(
+        image_size=(w, h),
+        focal_length=args.focal,
+        f_number=args.fnumber,
+        position=pos,
+        forward=fwd,
+        exposure=args.exposure,
+        aperture_sides=args.aperture_sides,
+    )
+    cfg = RenderConfig(
+        samples=args.spp,
+        max_depth=args.max_depth,
+        integrator=args.integrator,
+        sampler=args.sampler,
+        estimator=args.estimator,
+        tonemap=args.tonemap,
+        agx_look=args.look,
+        seed=args.seed,
+        first_wave_samples=args.first_wave,
+        max_wave_samples=args.max_wave,
+        lane_chunk=args.chunk_pixels,
+    )
+
+    if not args.quiet:
+        print(
+            f"scene: {args.scene} ({meta.n_tris} tris, {meta.n_lights} lights, "
+            f"env={meta.has_env}); {w}x{h} @ {args.spp}spp"
+        )
+
+    r = Renderer(scene, meta, cam, cfg)
+
+    def on_wave(wd, preview):
+        if not args.quiet:
+            mrays = wd.rays / max(wd.time, 1e-9) / 1e6
+            print(
+                f"wave {wd.wave}: {wd.samples_taken}/{wd.total_samples} spp, "
+                f"{mrays:.2f} Mrays/s, {wd.time:.1f}s"
+            )
+
+    res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
+
+    out = args.output
+    if out.endswith(".ppm"):
+        write_ppm(out, res.display)
+    else:
+        write_png(out, res.display, gamma_encode=False)
+    if not args.quiet:
+        print(
+            f"wrote {out}: {res.samples_taken}spp, {res.total_rays / 1e6:.1f} Mrays, "
+            f"{res.total_time:.1f}s "
+            f"({res.total_rays / max(res.total_time, 1e-9) / 1e6:.2f} Mrays/s)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Image output (PPM/PNG) and HDR input.
+
+PPM mirrors the reference writer exactly: P6 binary, gamma-1/2.2 encode,
+clamp (src/output/ppm.cpp:5-21), applied to the already-tonemapped display
+buffer. PNG is a dependency-free encoder (zlib + struct). HDR loading reads
+Radiance .hdr RGBE files (the reference uses stb's loadf,
+src/core/texture.cpp:5-19).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _encode_gamma22(img: np.ndarray) -> np.ndarray:
+    out = np.clip(img, 0.0, 1.0) ** (1.0 / 2.2)
+    return (out * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_ppm(path: str, display: np.ndarray) -> None:
+    """P6 writer (src/output/ppm.cpp:7-21); display is [H, W, 3] linear."""
+    h, w = display.shape[:2]
+    data = _encode_gamma22(display[..., :3])
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(data.tobytes())
+
+
+def write_png(path: str, display: np.ndarray, gamma_encode: bool = True) -> None:
+    """Minimal RGB8 PNG encoder; display is [H, W, 3] linear (or already
+    encoded if gamma_encode=False)."""
+    h, w = display.shape[:2]
+    if gamma_encode:
+        data = _encode_gamma22(display[..., :3])
+    else:
+        data = np.clip(display[..., :3] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    raw = b"".join(
+        b"\x00" + data[y].tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE (.hdr) loader -> [H, W, 3] float32 linear."""
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # Header
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.find(b"\n\n")
+    if pos < 0:
+        raise ValueError("bad HDR header")
+    header_end = pos + 2
+    dims_end = data.find(b"\n", header_end)
+    dims = data[header_end:dims_end].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation: {dims}")
+    h, w = int(dims[1]), int(dims[3])
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    p = dims_end + 1
+    buf = np.frombuffer(data, np.uint8)
+    for y in range(h):
+        # New-style RLE scanline?
+        if w >= 8 and w < 32768 and buf[p] == 2 and buf[p + 1] == 2:
+            if (int(buf[p + 2]) << 8 | int(buf[p + 3])) != w:
+                raise ValueError("HDR scanline width mismatch")
+            p += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(buf[p])
+                    p += 1
+                    if count > 128:  # run
+                        rgbe[y, x : x + count - 128, c] = buf[p]
+                        x += count - 128
+                        p += 1
+                    else:  # literal
+                        rgbe[y, x : x + count, c] = buf[p : p + count]
+                        x += count
+                        p += count
+        else:
+            flat = buf[p : p + w * 4].reshape(w, 4)
+            rgbe[y] = flat
+            p += w * 4
+
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]

@@ -71,19 +71,25 @@ def refract(wi, n, ior):
     Branchless port of src/math/math.hpp:22-42: if wi is below the surface
     the ior/normal/cos are flipped; returns ``(wt, tir)`` where ``tir`` marks
     total internal reflection (wt undefined there, caller must mask).
+
+    ``ior`` may be a scalar or lane-shaped [...] (a trailing singleton axis is
+    also accepted and squeezed).
     """
-    cos_theta = dot(wi, n, keepdims=True)
+    ior = jnp.asarray(ior, wi.dtype)
+    if ior.ndim == wi.ndim and ior.shape[-1] == 1:
+        ior = ior[..., 0]
+    cos_theta = dot(wi, n)  # [...]
     below = cos_theta < 0.0
-    ior = jnp.where(below[..., 0], 1.0 / ior, ior)[..., None]
+    eta = jnp.where(below, 1.0 / ior, ior)  # [...]
     cos_theta = jnp.abs(cos_theta)
-    n = jnp.where(below, -n, n)
+    n = jnp.where(below[..., None], -n, n)
 
     sin2 = jnp.maximum(0.0, 1.0 - cos_theta * cos_theta)
-    sin2_t = sin2 / (ior * ior)
-    tir = sin2_t[..., 0] >= 1.0
+    sin2_t = sin2 / (eta * eta)
+    tir = sin2_t >= 1.0
 
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    wt = -wi / ior + (cos_theta / ior - cos_t) * n
+    wt = -wi / eta[..., None] + (cos_theta / eta - cos_t)[..., None] * n
     return wt, tir
 
 

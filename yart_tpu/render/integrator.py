@@ -1,0 +1,329 @@
+"""Wavefront path-tracing integrators (MIS+NEE and naive).
+
+TPU re-design of the reference integrators (src/cpu/mis-integrator.cpp,
+naive-integrator.cpp): the recursive/iterative per-ray `Li` loop becomes a
+`lax.while_loop` over the WHOLE wavefront — every lane advances one bounce
+per iteration, dead lanes are masked, and the loop exits when all lanes are
+done or max_depth is reached. All scatter decisions are branchless.
+
+Sampler dimension layout (deterministic per (pixel, sample); SURVEY.md §3.3):
+  dims 0-1: film jitter    dims 2-3: lens
+  per bounce k, base = 4 + 8k:
+    base+0..1: BSDF u | base+2: uc | base+3: uc2 (lobe select)
+    base+4: NEE light select | base+5..6: NEE u | base+7: roulette
+Unlike the reference (which consumes dims data-dependently, e.g. NEE dims only
+on non-specular bounces, mis-integrator.cpp:80,114-115), dims are assigned
+statically per bounce so every lane keeps an aligned, pure counter-based
+stream — the property that makes images identical under any sharding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yart_tpu.config import RenderConfig
+from yart_tpu.ops import lut
+from yart_tpu.ops.vecmath import (
+    absdot,
+    dot,
+    frame_from_normal_tangent,
+    local_to_world,
+    max_component,
+    normalize,
+    shading_tangent,
+    world_to_local,
+)
+from yart_tpu.render import bsdf as B
+from yart_tpu.render import lights
+from yart_tpu.render.camera import CameraParams, generate_rays
+from yart_tpu.render.intersect import intersect
+from yart_tpu.render.texture import sample_stack
+from yart_tpu.scene.types import CompiledScene, SceneMeta
+
+INF = jnp.float32(1e30)
+RAY_EPS = 1e-3  # tMin (mis-integrator.cpp:26)
+
+
+class Shading(NamedTuple):
+    """Per-lane surface data after a hit (analog of Hit + testMesh fixups,
+    src/cpu/ray-integrator.cpp:56-82)."""
+
+    p: jnp.ndarray  # [N, 3]
+    n: jnp.ndarray  # [N, 3] shading normal (normal-mapped, normalized)
+    tg: jnp.ndarray  # [N, 3] integrator tangent convention
+    uv: jnp.ndarray  # [N, 2]
+    mat: jnp.ndarray  # [N] int32
+    light: jnp.ndarray  # [N] int32 (-1 = not emissive)
+    back: jnp.ndarray  # [N] bool
+
+
+def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
+    tri = jnp.clip(hit.tri, 0, meta.n_tris - 1)
+    tv = scene.tri_v[tri]
+    w = 1.0 - hit.u - hit.v
+    bary = jnp.stack([w, hit.u, hit.v], axis=-1)[..., None]  # [N, 3, 1]
+
+    n = normalize(jnp.sum(scene.normals[tv] * bary, axis=1))
+    uv = jnp.sum(scene.uvs[tv] * bary, axis=1)
+
+    mat_idx = scene.tri_mat[tri]
+
+    # Normal mapping through the interpolated tangent frame (bsdf.cpp:44-58).
+    if meta.any_textures:
+        t4 = jnp.sum(scene.tangents[tv] * bary, axis=1)
+        tn_idx = scene.materials.tex_normal[mat_idx]
+        tex_n = sample_stack(scene.tex_rgb, tn_idx, uv) * 2.0 - 1.0
+        fx, fy, fz = frame_from_normal_tangent(n, t4[..., :3], t4[..., 3])
+        mapped = normalize(local_to_world(tex_n, fx, fy, fz))
+        n = jnp.where((tn_idx >= 0)[..., None], mapped, n)
+
+    return Shading(
+        p=o + d * hit.t[..., None],
+        n=n,
+        tg=shading_tangent(n),
+        uv=uv,
+        mat=mat_idx,
+        light=scene.tri_light[tri],
+        back=hit.back_side,
+    )
+
+
+class _State(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    L: jnp.ndarray
+    atten: jnp.ndarray
+    active: jnp.ndarray
+    specular: jnp.ndarray
+    acc_rough: jnp.ndarray
+    last_pdf: jnp.ndarray
+    last_p: jnp.ndarray
+    depth: jnp.ndarray  # scalar int32
+    rays: jnp.ndarray  # scalar int64-ish counter (float32 to psum cheaply)
+
+
+def li(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    sampler,
+    lane_state,
+    o,
+    d,
+    cfg: RenderConfig,
+    mis: bool = True,
+):
+    """Trace radiance for a wavefront of camera rays.
+
+    Returns (L [N, 3], ray_count []). `lane_state` is the sampler per-lane
+    state from `sampler.init_lanes`.
+    """
+    n = o.shape[0]
+    tables = lut.load_tables()
+
+    st = _State(
+        o=o,
+        d=d,
+        L=jnp.zeros((n, 3), jnp.float32),
+        atten=jnp.ones((n, 3), jnp.float32),
+        active=jnp.ones((n,), bool),
+        specular=jnp.zeros((n,), bool),
+        acc_rough=jnp.zeros((n,), jnp.float32),
+        last_pdf=jnp.zeros((n,), jnp.float32),
+        last_p=jnp.zeros((n, 3), jnp.float32),
+        depth=jnp.asarray(0, jnp.int32),
+        rays=jnp.asarray(0.0, jnp.float32),
+    )
+
+    def cond(st: _State):
+        return (st.depth < cfg.max_depth) & jnp.any(st.active)
+
+    def body(st: _State):
+        depth = st.depth
+        dim0 = jnp.asarray(4, jnp.uint32) + depth.astype(jnp.uint32) * 8
+        rays = st.rays + jnp.sum(st.active.astype(jnp.float32))
+
+        hit = intersect(scene, meta, st.o, st.d, INF, t_min=RAY_EPS)
+        found = hit.mask & st.active
+
+        # ---- miss: environment + background (mis-integrator.cpp:27-43) ----
+        miss = st.active & ~hit.mask
+        L = st.L
+        if meta.has_env:
+            le = lights.env_le(scene, st.d)
+            if mis:
+                pdf_env = lights.env_pdf(scene, st.d)
+                w_bsdf = jnp.where(
+                    (depth == 0) | st.specular,
+                    1.0,
+                    st.last_pdf / jnp.maximum(st.last_pdf + pdf_env, 1e-20),
+                )
+            else:
+                w_bsdf = jnp.ones((n,), jnp.float32)
+            L = L + jnp.where(miss[..., None], st.atten * le * w_bsdf[..., None], 0.0)
+        L = L + jnp.where(miss[..., None], st.atten * scene.background, 0.0)
+
+        # ---- surface shading ----
+        sh = shading_data(scene, meta, hit, st.o, st.d)
+        mat = B.resolve_material(scene, meta, sh.mat, sh.uv)
+
+        u = sampler.get2d(lane_state, dim0)
+        uc = sampler.get1d(lane_state, dim0 + 2)
+        uc2 = sampler.get1d(lane_state, dim0 + 3)
+
+        regularized = st.acc_rough > cfg.regularize_threshold
+        fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
+        wo_local = world_to_local(-st.d, fx, fy, fz)
+        smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized)
+        wi_world = local_to_world(smp.wi, fx, fy, fz)
+
+        # ---- emitted radiance (mis-integrator.cpp:60-74) ----
+        emitted = B.has_flag(smp.flags, B.EMITTED) & found
+        if mis:
+            # solid-angle conversion vs the light sampler's pdf
+            dist2 = jnp.sum((st.last_p - sh.p) ** 2, axis=-1)
+            pdf_area = 1.0 / jnp.maximum(
+                scene.light_area[jnp.clip(sh.light, 0, max(meta.n_lights - 1, 0))],
+                1e-20,
+            ) if meta.n_lights else jnp.zeros((n,), jnp.float32)
+            sel_p = (
+                lights.select_p_area(
+                    scene, meta, jnp.clip(sh.light, 0, max(meta.n_lights - 1, 0))
+                )
+                if meta.n_lights
+                else jnp.zeros((n,), jnp.float32)
+            )
+            pdf_light = (
+                pdf_area
+                * dist2
+                * sel_p
+                / jnp.maximum(absdot(-st.d, sh.n), 1e-9)
+            )
+            w_b = jnp.where(
+                (depth == 0) | st.specular | (sh.light < 0),
+                1.0,
+                st.last_pdf / jnp.maximum(st.last_pdf + pdf_light, 1e-20),
+            )
+        else:
+            w_b = jnp.ones((n,), jnp.float32)
+        L = L + jnp.where(emitted[..., None], st.atten * smp.Le * w_b[..., None], 0.0)
+
+        scattered = B.has_flag(smp.flags, B.REFLECTED | B.TRANSMITTED) & found
+
+        # ---- NEE direct lighting (mis-integrator.cpp:76-80, 111-133) ----
+        do_nee = (
+            scattered
+            & ~B.has_flag(smp.flags, B.EMITTED | B.SPECULAR)
+            & (meta.n_lights > 0 or meta.has_env)
+        ) if mis else jnp.zeros((n,), bool)
+        if mis and (meta.n_lights > 0 or meta.has_env):
+            uc_l = sampler.get1d(lane_state, dim0 + 4)
+            u_l = sampler.get2d(lane_state, dim0 + 5)
+            ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l)
+
+            f_l = B.bsdf_f(
+                tables, mat, wo_local, world_to_local(ls.wi, fx, fy, fz)
+            )
+            pdf_b = B.bsdf_pdf(
+                tables, mat, wo_local, world_to_local(ls.wi, fx, fy, fz)
+            )
+            to_l = ls.p - sh.p
+            dist_l = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-20))
+            nee_need = (
+                do_nee & ls.valid & (jnp.sum(f_l * f_l, axis=-1) > 0.0)
+            )
+            shadow_d = to_l / dist_l[..., None]
+            shadow_tmax = jnp.where(nee_need, dist_l - 1e-3, -1.0)
+            occ = intersect(
+                scene, meta, sh.p, shadow_d, shadow_tmax, t_min=RAY_EPS, nee=True
+            )
+            rays = rays + jnp.sum(nee_need.astype(jnp.float32))
+
+            pdf_light = ls.select_p * ls.pdf / jnp.maximum(absdot(ls.n, ls.wi), 1e-9)
+            dist2_l = jnp.sum(to_l * to_l, axis=-1)
+            pdf_light = jnp.where(ls.is_env, pdf_light, pdf_light * dist2_l)
+            contrib = (
+                ls.Li
+                * f_l
+                * occ.attenuation
+                * (absdot(ls.wi, sh.n) / jnp.maximum(pdf_b + pdf_light, 1e-20))[
+                    ..., None
+                ]
+            )
+            ok = nee_need & ~occ.mask
+            L = L + jnp.where(ok[..., None], st.atten * contrib, 0.0)
+
+        # ---- throughput update (mis-integrator.cpp:83-96) ----
+        fcos = smp.f * absdot(wi_world, sh.n)[..., None]
+        atten = st.atten * fcos / jnp.maximum(smp.pdf, 1e-20)[..., None]
+        vol = B.volume_attenuation(mat, hit.t)
+        atten = jnp.where((sh.back & scattered)[..., None], atten * vol, atten)
+
+        new_o = sh.p
+        new_d = wi_world
+
+        active = st.active & scattered
+        specular = B.has_flag(smp.flags, B.SPECULAR)
+        acc_rough = st.acc_rough + jnp.where(scattered, smp.roughness, 0.0)
+        depth_new = depth + 1
+
+        # ---- russian roulette (mis-integrator.cpp:98-102) ----
+        if mis:
+            u_rr = sampler.get1d(lane_state, dim0 + 7)
+            q = jnp.maximum(0.0, 1.0 - max_component(atten))
+            rr_on = (depth_new > 1) & active
+            killed = rr_on & (u_rr < q)
+            active = active & ~killed
+            scale = jnp.where(rr_on & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-9), 1.0)
+            atten = atten * scale[..., None]
+
+        atten = jnp.where(active[..., None], atten, st.atten)
+
+        return _State(
+            o=jnp.where(active[..., None], new_o, st.o),
+            d=jnp.where(active[..., None], new_d, st.d),
+            L=L,
+            atten=atten,
+            active=active,
+            specular=jnp.where(active, specular, st.specular),
+            acc_rough=acc_rough,
+            last_pdf=jnp.where(active, smp.pdf, st.last_pdf),
+            last_p=jnp.where(active[..., None], sh.p, st.last_p),
+            depth=depth_new,
+            rays=rays,
+        )
+
+    st = lax.while_loop(cond, body, st)
+    return st.L, st.rays
+
+
+def render_wave(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    cam: CameraParams,
+    sampler,
+    cfg: RenderConfig,
+    px,
+    py,
+    sample_idx,
+):
+    """Camera raygen + Li for a batch of (pixel, sample) lanes.
+
+    px, py: [N] int32 pixel coords; sample_idx: [N] uint32 global sample
+    indices (wave offset included — deterministic across waves,
+    src/cpu/integrator.cpp:20).
+    Returns (radiance [N, 3] scaled by exposure, ray_count []).
+    """
+    lane_state = sampler.init_lanes(
+        px.astype(jnp.uint32), py.astype(jnp.uint32), sample_idx
+    )
+    u_film = sampler.get2d(lane_state, jnp.uint32(0))
+    u_lens = sampler.get2d(lane_state, jnp.uint32(2))
+    o, d = generate_rays(cam, px, py, u_film, u_lens)
+    L, rays = li(
+        scene, meta, sampler, lane_state, o, d, cfg, mis=cfg.integrator == "mis"
+    )
+    return L * cam.exposure_scale, rays

@@ -1,0 +1,145 @@
+"""Light sampling: power-weighted light selection + area/env light sampling.
+
+Batched re-design of the reference light stack:
+- PowerLightSampler (src/core/light-sampler.cpp:32-93): infinite lights get
+  reserved probability pInf = nInf/(nInf+1); area lights chosen by cumulative
+  power binary search. Here: one searchsorted over the power CDF.
+- AreaLight::sample (src/core/light.cpp:44-73): uniform barycentric point on
+  an emissive triangle, pdf = 1/area.
+- ImageInfiniteLight (src/core/light.cpp:137-242): octahedral env map with
+  piecewise-constant 2D importance sampling; pdf(wi) = dist.pdf(octaUV)/4pi;
+  sampled point pushed to 2*sceneRadius.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from yart_tpu.ops import warps
+from yart_tpu.ops.distribution import pdf_dist2d, sample_dist2d
+from yart_tpu.ops.vecmath import inv_octahedral_uv, normalize, octahedral_uv
+from yart_tpu.render.texture import sample_hdr
+from yart_tpu.scene.types import CompiledScene, SceneMeta
+
+FOUR_PI = 4.0 * jnp.pi
+
+
+class LightSample(NamedTuple):
+    """SoA LightSample (src/core/light.hpp:10) + selection probability."""
+
+    Li: jnp.ndarray  # [N, 3]
+    wi: jnp.ndarray  # [N, 3]
+    p: jnp.ndarray  # [N, 3] point on light
+    n: jnp.ndarray  # [N, 3] light normal
+    pdf: jnp.ndarray  # [N] area-measure pdf (or solid-angle/4pi for env)
+    select_p: jnp.ndarray  # [N] probability this light was selected
+    is_env: jnp.ndarray  # [N] bool
+    valid: jnp.ndarray  # [N] bool
+
+
+def env_le(scene: CompiledScene, d):
+    """Env radiance along direction d (light.cpp:196-201)."""
+    return sample_hdr(scene.env_image, octahedral_uv(d))
+
+
+def env_pdf(scene: CompiledScene, d):
+    """Solid-angle pdf of env importance sampling (light.cpp:208-214)."""
+    uv = octahedral_uv(d)
+    return pdf_dist2d(scene.env_dist, uv) / FOUR_PI
+
+
+def p_infinite(meta: SceneMeta) -> float:
+    """Reserved infinite-light probability (light-sampler.cpp:57-59)."""
+    n_inf = 1 if meta.has_env else 0
+    if meta.n_lights == 0:
+        return 1.0
+    return n_inf / (n_inf + 1.0)
+
+
+def select_p_area(scene: CompiledScene, meta: SceneMeta, light_idx):
+    """Selection probability of area light `light_idx` for MIS
+    (light-sampler.cpp:80-93)."""
+    p_inf = p_infinite(meta)
+    total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+    return scene.light_power[light_idx] / total * (1.0 - p_inf)
+
+
+def sample_light(
+    scene: CompiledScene, meta: SceneMeta, p, uc, u
+) -> LightSample:
+    """PowerLightSampler::sample + Light::sample, batched.
+
+    p: [N, 3] shading points; uc: [N] selector; u: [N, 2].
+    """
+    n = p.shape[0]
+    p_inf = p_infinite(meta)
+    pick_env = uc < p_inf if meta.has_env else jnp.zeros((n,), bool)
+
+    # ---- area light branch (power CDF; light-sampler.cpp:69-78) ----
+    if meta.n_lights > 0:
+        u_area = jnp.where(
+            p_inf < 1.0, (uc - p_inf) / max(1.0 - p_inf, 1e-9), 0.0
+        )
+        target = u_area * scene.light_cdf[-1]
+        li = jnp.clip(
+            jnp.searchsorted(scene.light_cdf, target, side="right") - 1,
+            0,
+            meta.n_lights - 1,
+        ).astype(jnp.int32)
+        tri = scene.light_tri[li]
+        tv = scene.tri_v[tri]
+        v0 = scene.positions[tv[..., 0]]
+        v1 = scene.positions[tv[..., 1]]
+        v2 = scene.positions[tv[..., 2]]
+        n0 = scene.normals[tv[..., 0]]
+        n1 = scene.normals[tv[..., 1]]
+        n2 = scene.normals[tv[..., 2]]
+        b = warps.sample_tri_uniform(u)
+        pos = b[..., 0:1] * v0 + b[..., 1:2] * v1 + b[..., 2:3] * v2
+        nrm = b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
+        wi_area = normalize(pos - p)
+        pdf_area = 1.0 / jnp.maximum(scene.light_area[li], 1e-20)
+        li_rgb = scene.light_emission[li]
+        sel_area = select_p_area(scene, meta, li)
+    else:
+        pos = jnp.zeros_like(p)
+        nrm = jnp.zeros_like(p)
+        wi_area = jnp.zeros_like(p)
+        pdf_area = jnp.zeros((n,), jnp.float32)
+        li_rgb = jnp.zeros_like(p)
+        sel_area = jnp.zeros((n,), jnp.float32)
+
+    # ---- env branch (light.cpp:219-238) ----
+    if meta.has_env:
+        uv, pdf_uv = sample_dist2d(scene.env_dist, u)
+        wi_env = inv_octahedral_uv(uv)
+        li_env = sample_hdr(scene.env_image, uv)
+        pdf_env = pdf_uv / FOUR_PI
+        pos_env = wi_env * 2.0 * scene.scene_radius
+        n_inf = 1.0
+        sel_env = jnp.full((n,), p_inf / n_inf, jnp.float32)
+        env_ok = pdf_uv > 0.0
+    else:
+        wi_env = jnp.zeros_like(p)
+        li_env = jnp.zeros_like(p)
+        pdf_env = jnp.zeros((n,), jnp.float32)
+        pos_env = jnp.zeros_like(p)
+        sel_env = jnp.zeros((n,), jnp.float32)
+        env_ok = jnp.zeros((n,), bool)
+
+    pe = pick_env[..., None]
+    valid = jnp.where(
+        pick_env, env_ok, jnp.ones((n,), bool) if meta.n_lights else False
+    )
+    return LightSample(
+        Li=jnp.where(pe, li_env, li_rgb),
+        wi=jnp.where(pe, wi_env, wi_area),
+        p=jnp.where(pe, pos_env, pos),
+        n=jnp.where(pe, -wi_env, nrm),
+        pdf=jnp.where(pick_env, pdf_env, pdf_area),
+        select_p=jnp.where(pick_env, sel_env, sel_area),
+        is_env=pick_env,
+        valid=valid,
+    )

@@ -1,0 +1,220 @@
+"""Progressive wave renderer — the TPU analog of TileRenderer.
+
+The reference (src/cpu/tile-renderer.hpp) splits the image into 64px tiles
+pulled from a mutex-guarded queue by N OS threads, renders progressive
+"waves" of samples (1, 2, 4, ... max) with a condvar barrier between waves,
+and merges each wave into the HDR buffer by sample-count weights.
+
+Here the whole image is a dense SoA wavefront: tiles become jit-shaped pixel
+chunks (static shapes, one compile per wave size), threads become VPU lanes,
+the wave barrier is the device-step boundary, and the weighted merge
+(tile-renderer.hpp:220-232) is an elementwise lerp. Estimator semantics match
+the reference: the estimator reduces WITHIN a wave, waves merge linearly
+(integrator.cpp:17-25 + tile-renderer.hpp:220-232).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yart_tpu.config import CameraConfig, RenderConfig
+from yart_tpu.ops.qmc import make_sampler
+from yart_tpu.ops.tonemap import tonemap
+from yart_tpu.render.camera import build_camera
+from yart_tpu.render.estimator import estimate
+from yart_tpu.render.integrator import render_wave
+from yart_tpu.scene.types import CompiledScene, SceneMeta
+
+
+@dataclasses.dataclass
+class WaveData:
+    """Progress callback payload (src/core/renderer.hpp:30-43)."""
+
+    wave: int
+    wave_samples: int
+    samples_taken: int
+    total_samples: int
+    rays: float
+    time: float
+
+
+@dataclasses.dataclass
+class RenderResult:
+    """Final render state (src/core/renderer.hpp:22-28)."""
+
+    hdr: np.ndarray  # [H, W, 3] linear
+    display: np.ndarray  # [H, W, 3] tonemapped linear (PPM-encodable)
+    samples_taken: int
+    total_rays: float
+    total_time: float
+
+
+def wave_plan(total: int, first: int, max_wave: int):
+    """Progressive wave sample counts (tile-renderer.hpp:104-108,284-289):
+    first wave `first` (1 if multi-wave), then doubling to max_wave."""
+    waves = []
+    left = total
+    w = first if total > first else total
+    while left > 0:
+        w = min(w, left, max_wave)
+        waves.append(w)
+        left -= w
+        w *= 2
+    return waves
+
+
+class Renderer:
+    """Single-host progressive renderer over one (or a mesh of) device(s)."""
+
+    def __init__(
+        self,
+        scene: CompiledScene,
+        meta: SceneMeta,
+        cam_cfg: CameraConfig,
+        cfg: RenderConfig = RenderConfig(),
+    ):
+        self.scene = scene
+        self.meta = meta
+        self.cfg = cfg
+        self.cam = build_camera(cam_cfg)
+        self.width, self.height = cam_cfg.image_size
+        res = max(self.width, self.height)
+        self.sampler = make_sampler(cfg.sampler, cfg.samples, (res, res), cfg.seed)
+        self._wave_fns = {}
+
+    def _wave_fn(self, k: int):
+        """Jitted wave chunk: [P] pixels x k samples -> estimator-reduced
+        [P, 3] + ray count. One compile per distinct wave size."""
+        if k not in self._wave_fns:
+            scene, meta, cam, sampler, cfg = (
+                self.scene,
+                self.meta,
+                self.cam,
+                self.sampler,
+                self.cfg,
+            )
+
+            def fn(px, py, sample_base):
+                p = px.shape[0]
+                lane_px = jnp.repeat(px, k)
+                lane_py = jnp.repeat(py, k)
+                sidx = (
+                    jnp.tile(jnp.arange(k, dtype=jnp.uint32), (p,))
+                    + sample_base.astype(jnp.uint32)
+                )
+                radiance, rays = render_wave(
+                    scene, meta, cam, sampler, cfg, lane_px, lane_py, sidx
+                )
+                samples = radiance.reshape(p, k, 3)
+                est = estimate(samples, cfg.estimator, cfg.estimator_buckets)
+                return est, rays
+
+            self._wave_fns[k] = jax.jit(fn)
+        return self._wave_fns[k]
+
+    def render(
+        self,
+        on_wave: Optional[Callable[[WaveData, np.ndarray], None]] = None,
+        chunk_pixels: Optional[int] = None,
+        checkpoint: Optional[str] = None,
+    ) -> RenderResult:
+        """Render progressively; `checkpoint` enables elastic resume: the HDR
+        accumulator + samples-taken count fully determine renderer state
+        because the sampler is stateless given the sample offset (SURVEY.md
+        §5; reference waves already merge onto a partial image,
+        tile-renderer.hpp:220-232)."""
+        cfg = self.cfg
+        h, w = self.height, self.width
+        n_pix = h * w
+        chunk = chunk_pixels or cfg.lane_chunk or n_pix
+        chunk = min(chunk, n_pix)
+
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px_all = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py_all = jnp.asarray(yy.reshape(-1), jnp.int32)
+
+        hdr = jnp.zeros((n_pix, 3), jnp.float32)
+        samples_taken = 0
+        total_rays = 0.0
+        if checkpoint and os.path.exists(checkpoint):
+            with np.load(checkpoint) as z:
+                if z["hdr"].shape == (n_pix, 3) and int(z["seed"]) == cfg.seed:
+                    hdr = jnp.asarray(z["hdr"])
+                    samples_taken = int(z["samples_taken"])
+                    total_rays = float(z["rays"])
+        t0 = time.time()
+
+        plan = wave_plan(cfg.samples, cfg.first_wave_samples, cfg.max_wave_samples)
+        # Skip waves already covered by a resumed checkpoint.
+        done = samples_taken
+        remaining_plan = []
+        for k in plan:
+            if done >= k:
+                done -= k
+            else:
+                remaining_plan.append(k - done)
+                done = 0
+        for wave_i, k in enumerate(remaining_plan):
+            fn = self._wave_fn(k)
+            wave_img = jnp.zeros((n_pix, 3), jnp.float32)
+            for start in range(0, n_pix, chunk):
+                end = min(start + chunk, n_pix)
+                if end - start < chunk:  # pad to static shape
+                    sl = jnp.arange(start, start + chunk) % n_pix
+                else:
+                    sl = jnp.arange(start, end)
+                est, rays = fn(
+                    px_all[sl], py_all[sl], jnp.uint32(samples_taken)
+                )
+                wave_img = wave_img.at[sl[: end - start]].set(est[: end - start])
+                total_rays += float(rays)
+
+            # Weighted running merge (tile-renderer.hpp:220-232).
+            w_cur = samples_taken / (samples_taken + k)
+            w_new = k / (samples_taken + k)
+            hdr = hdr * w_cur + wave_img * w_new
+            samples_taken += k
+
+            if checkpoint:
+                np.savez(
+                    checkpoint,
+                    hdr=np.asarray(hdr),
+                    samples_taken=samples_taken,
+                    rays=total_rays,
+                    seed=cfg.seed,
+                )
+
+            if on_wave is not None:
+                preview = np.asarray(
+                    tonemap(hdr.reshape(h, w, 3), cfg.tonemap, cfg.agx_look)
+                )
+                on_wave(
+                    WaveData(
+                        wave=wave_i,
+                        wave_samples=k,
+                        samples_taken=samples_taken,
+                        total_samples=cfg.samples,
+                        rays=total_rays,
+                        time=time.time() - t0,
+                    ),
+                    preview,
+                )
+
+        hdr_img = np.asarray(hdr).reshape(h, w, 3)
+        display = np.asarray(
+            tonemap(jnp.asarray(hdr_img), cfg.tonemap, cfg.agx_look)
+        )
+        return RenderResult(
+            hdr=hdr_img,
+            display=display,
+            samples_taken=samples_taken,
+            total_rays=total_rays,
+            total_time=time.time() - t0,
+        )

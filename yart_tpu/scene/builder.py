@@ -204,7 +204,12 @@ class SceneBuilder:
         v0 = positions[tri_v[:, 0]]
         v1 = positions[tri_v[:, 1]]
         v2 = positions[tri_v[:, 2]]
-        hb = build_bvh(v0, v1, v2, max_leaf=max_leaf, n_bins=n_bins)
+        # Native C++ SAH build when available (yart_tpu/native), numpy fallback.
+        from yart_tpu.native import build_bvh_native
+
+        hb = build_bvh_native(v0, v1, v2, max_leaf=max_leaf, n_bins=n_bins)
+        if hb is None:
+            hb = build_bvh(v0, v1, v2, max_leaf=max_leaf, n_bins=n_bins)
 
         # Permute triangles into leaf order.
         tri_v = tri_v[hb.tri_order]
