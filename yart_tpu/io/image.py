@@ -109,3 +109,23 @@ def load_hdr(path: str) -> np.ndarray:
     exp = rgbe[..., 3].astype(np.int32)
     scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0).astype(np.float32)
     return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def save_hdr(path: str, image: np.ndarray) -> None:
+    """Radiance RGBE (.hdr) writer, uncompressed scanlines; [H, W, 3] linear."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    maxc = img.max(axis=-1)
+    exp = np.zeros((h, w), np.int32)
+    mant = np.zeros((h, w, 3), np.uint8)
+    nz = maxc > 1e-32
+    # frexp: maxc = f * 2^e with f in [0.5, 1)
+    f, e = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, f * 256.0 / np.maximum(maxc, 1e-32), 0.0)
+    mant = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
+    exp = np.where(nz, e + 128, 0).astype(np.uint8)
+    rgbe = np.concatenate([mant, exp[..., None]], axis=-1)
+    with open(path, "wb") as fo:
+        fo.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        fo.write(f"-Y {h} +X {w}\n".encode())
+        fo.write(rgbe.tobytes())

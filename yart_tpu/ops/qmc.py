@@ -336,6 +336,10 @@ class HashSampler:
         b = self.get1d(state, jnp.asarray(dim) + 1)
         return jnp.stack([a, b], axis=-1)
 
+    def lane_seed(self, state):
+        """Per-lane u32 key for auxiliary draws (alpha tests)."""
+        return mix32(state ^ U32(0xA511E9B3))
+
 
 # ---------------------------------------------------------------------------
 # ZSobol sampler (sampler.hpp:72-174)
@@ -443,6 +447,11 @@ class ZSobolSampler:
         v = reverse_bits32(idx.lo)  # Sobol dim 0 on low 32 bits (sampler.hpp:144-145)
         v = self.scramble(v, self._seed_1d[dim])
         return u32_to_unit_float(v)
+
+    def lane_seed(self, state: U64):
+        """Per-lane u32 key for auxiliary draws (alpha tests): the Morton key
+        hashes to a decorrelated stream outside the QMC dims."""
+        return mix32(state.lo ^ mix32(state.hi ^ U32(0xA511E9B3)))
 
     def get2d(self, state: U64, dim):
         idx = self._sample_index(state, dim)

@@ -115,14 +115,25 @@ def li(
     d,
     cfg: RenderConfig,
     mis: bool = True,
+    differentiable: bool = False,
 ):
     """Trace radiance for a wavefront of camera rays.
 
     Returns (L [N, 3], ray_count []). `lane_state` is the sampler per-lane
     state from `sampler.init_lanes`.
+
+    differentiable=True makes the result reverse-differentiable w.r.t. scene
+    parameters (material table, emission, env image) using detached sampling:
+    - the bounce loop becomes a fixed-length `lax.scan` (reverse-mode through
+      `lax.while_loop` is unsupported),
+    - traversal results and sampled directions/pdfs/selection decisions are
+      stop-gradiented (visibility and sampling decisions are treated as
+      parameter-independent; f and Le stay differentiable) — the standard
+      detached-sampling estimator (SURVEY.md §7.1).
     """
     n = o.shape[0]
     tables = lut.load_tables()
+    sg = lax.stop_gradient if differentiable else (lambda x: x)
 
     st = _State(
         o=o,
@@ -141,12 +152,23 @@ def li(
     def cond(st: _State):
         return (st.depth < cfg.max_depth) & jnp.any(st.active)
 
+    lane_seed = sampler.lane_seed(lane_state)
+
     def body(st: _State):
         depth = st.depth
         dim0 = jnp.asarray(4, jnp.uint32) + depth.astype(jnp.uint32) * 8
         rays = st.rays + jnp.sum(st.active.astype(jnp.float32))
 
-        hit = intersect(scene, meta, st.o, st.d, INF, t_min=RAY_EPS)
+        # Fresh alpha-test stream per bounce (the reference draws these from
+        # the sampler mid-traversal, ray-integrator.cpp:211).
+        bounce_seed = lane_seed ^ (depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        hit = intersect(
+            scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
+            meta, sg(st.o), sg(st.d), INF, t_min=RAY_EPS,
+            alpha_seed=bounce_seed,
+        )
+        if differentiable:
+            hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
         found = hit.mask & st.active
 
         # ---- miss: environment + background (mis-integrator.cpp:27-43) ----
@@ -178,6 +200,13 @@ def li(
         fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
         wo_local = world_to_local(-st.d, fx, fy, fz)
         smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized)
+        if differentiable:
+            # Detached sampling: direction, pdf and lobe choice are constants;
+            # f/Le keep their parameter dependence.
+            smp = smp._replace(
+                wi=sg(smp.wi), pdf=sg(smp.pdf), flags=smp.flags,
+                roughness=sg(smp.roughness),
+            )
         wi_world = local_to_world(smp.wi, fx, fy, fz)
 
         # ---- emitted radiance (mis-integrator.cpp:60-74) ----
@@ -238,8 +267,13 @@ def li(
             shadow_d = to_l / dist_l[..., None]
             shadow_tmax = jnp.where(nee_need, dist_l - 1e-3, -1.0)
             occ = intersect(
-                scene, meta, sh.p, shadow_d, shadow_tmax, t_min=RAY_EPS, nee=True
+                scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
+                meta, sg(sh.p), sg(shadow_d), sg(shadow_tmax),
+                t_min=RAY_EPS, nee=True,
+                alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
             )
+            if differentiable:
+                occ = jax.tree_util.tree_map(lax.stop_gradient, occ)
             rays = rays + jnp.sum(nee_need.astype(jnp.float32))
 
             pdf_light = ls.select_p * ls.pdf / jnp.maximum(absdot(ls.n, ls.wi), 1e-9)
@@ -296,7 +330,13 @@ def li(
             rays=rays,
         )
 
-    st = lax.while_loop(cond, body, st)
+    if differentiable:
+        def scan_body(st, _):
+            return body(st), None
+
+        st, _ = lax.scan(scan_body, st, None, length=cfg.max_depth)
+    else:
+        st = lax.while_loop(cond, body, st)
     return st.L, st.rays
 
 
@@ -309,6 +349,7 @@ def render_wave(
     px,
     py,
     sample_idx,
+    differentiable: bool = False,
 ):
     """Camera raygen + Li for a batch of (pixel, sample) lanes.
 
@@ -324,6 +365,7 @@ def render_wave(
     u_lens = sampler.get2d(lane_state, jnp.uint32(2))
     o, d = generate_rays(cam, px, py, u_film, u_lens)
     L, rays = li(
-        scene, meta, sampler, lane_state, o, d, cfg, mis=cfg.integrator == "mis"
+        scene, meta, sampler, lane_state, o, d, cfg,
+        mis=cfg.integrator == "mis", differentiable=differentiable,
     )
     return L * cam.exposure_scale, rays

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from yart_tpu.ops.qmc import mix32, u32_to_unit_float
+from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
 
 F32_MAX = jnp.float32(3.0e38)
@@ -75,14 +77,34 @@ def _mt_test(o, d, p0, p1, p2, t_min, t_cur):
     return valid, t, u, v, back
 
 
-def _closest_in_leaf(scene, o, d, t_min, t_cur, first, n_valid, max_leaf):
+def _closest_in_leaf(
+    scene,
+    meta,
+    o,
+    d,
+    t_min,
+    t_cur,
+    first,
+    n_valid,
+    max_leaf,
+    nee=False,
+    alpha_seed=None,
+    atten=None,
+):
     """Test max_leaf consecutive triangles starting at `first` per lane.
 
-    Returns (any_valid, t, u, v, back, tri) of the closest valid hit.
-    o, d: [N, 3]; first, n_valid: [N]; result lanes with no valid hit get
-    t = t_cur.
+    Returns (any_valid, t, u, v, back, tri, atten) of the closest valid hit.
+    o, d: [N, 3]; first, n_valid: [N]; lanes with no valid hit get t = t_cur.
+
+    Optional per-triangle gates, enabled by static scene flags so untextured
+    scenes pay nothing:
+    - stochastic alpha test (ray-integrator.cpp:205-211): a hash of
+      (alpha_seed, tri) stands in for the reference's sequential sampler draw
+      — deterministic per (pixel, sample, tri) instead of per test order.
+    - NEE transparent-surface attenuation (ray-integrator.cpp:213-219):
+      thin-transmissive surfaces don't block shadow rays; they multiply
+      `atten` by absdot(n, d) * base(uv) and are skipped as hits.
     """
-    lanes = first.shape[0]
     offs = jnp.arange(max_leaf, dtype=jnp.int32)  # [L]
     tri_ids = first[:, None] + offs[None, :]  # [N, L]
     in_leaf = offs[None, :] < n_valid[:, None]
@@ -97,6 +119,64 @@ def _closest_in_leaf(scene, o, d, t_min, t_cur, first, n_valid, max_leaf):
         o[:, None, :], d[:, None, :], p0, p1, p2, t_min, t_cur[:, None]
     )
     valid = valid & in_leaf
+
+    need_uv = (meta is not None) and (
+        meta.any_alpha or (nee and meta.any_transparent)
+    )
+    if need_uv:
+        mats = scene.tri_mat[tri_ids]  # [N, L]
+        w_b = (1.0 - u - v)[..., None]
+        uv = (
+            w_b * scene.uvs[tv[..., 0]]
+            + u[..., None] * scene.uvs[tv[..., 1]]
+            + v[..., None] * scene.uvs[tv[..., 2]]
+        )  # [N, L, 2]
+        n_lanes, L = tri_ids.shape
+
+    if meta is not None and meta.any_alpha:
+        tb = scene.materials.tex_base[mats]
+        has_a = scene.materials.has_alpha[mats] & (tb >= 0)
+        a_tex = sample_stack(
+            scene.tex_rgba, tb.reshape(-1), uv.reshape(-1, 2)
+        ).reshape(n_lanes, L, 4)[..., 3]
+        alpha = jnp.where(has_a, a_tex, 1.0)
+        if alpha_seed is None:
+            alpha_seed = jnp.zeros(tri_ids.shape[:1], jnp.uint32)
+        u_a = u32_to_unit_float(
+            mix32(
+                alpha_seed[:, None]
+                ^ tri_ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            )
+        )
+        valid = valid & ((alpha >= 1.0) | (u_a <= alpha))
+
+    if nee and meta is not None and meta.any_transparent:
+        thin = scene.materials.thin[mats]
+        trans = scene.materials.transmission[mats]
+        transparent = thin & (trans > 0.0)
+        tr_hit = valid & transparent
+        n_interp = (
+            w_b * scene.normals[tv[..., 0]]
+            + u[..., None] * scene.normals[tv[..., 1]]
+            + v[..., None] * scene.normals[tv[..., 2]]
+        )
+        base = scene.materials.base_color[mats][..., :3]
+        if meta.any_textures:
+            tb2 = scene.materials.tex_base[mats]
+            b_tex = sample_stack(
+                scene.tex_rgba, tb2.reshape(-1), uv.reshape(-1, 2)
+            ).reshape(n_lanes, L, 4)[..., :3]
+            base = jnp.where(
+                (tb2 >= 0)[..., None], base * b_tex * b_tex, base
+            )
+        cosd = jnp.abs(jnp.sum(n_interp * d[:, None, :], axis=-1))
+        factor = jnp.where(
+            tr_hit[..., None], cosd[..., None] * base, 1.0
+        )
+        if atten is not None:
+            atten = atten * jnp.prod(factor, axis=1)
+        valid = valid & ~transparent
+
     t = jnp.where(valid, t, F32_MAX)
     best = jnp.argmin(t, axis=-1)  # [N]
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=-1)[:, 0]
@@ -108,6 +188,7 @@ def _closest_in_leaf(scene, o, d, t_min, t_cur, first, n_valid, max_leaf):
         take(v),
         take(back),
         take(tri_ids),
+        atten,
     )
 
 
@@ -128,35 +209,133 @@ def intersect_brute(
     t_max,
     t_min: float = 1e-3,
     nee: bool = False,
-    chunk: int = 512,
+    chunk: int = 256,
+    alpha_seed=None,
 ):
-    """Reference oracle: test every triangle, chunked to bound memory."""
+    """Reference oracle: test every triangle, chunked to bound memory.
+
+    TPU-friendly layout: every lane tests the SAME triangle chunk, so the
+    per-chunk geometry comes from `dynamic_slice` (no gathers at all — a
+    [lanes*chunk]-index gather from a small table lowers to a catastrophic
+    one-hot expansion on TPU) and broadcasts against the lane axis.
+    """
     n = o.shape[0]
     n_tris = meta.n_tris
     n_chunks = -(-n_tris // chunk)
+    pad = n_chunks * chunk - n_tris
+
+    # Per-triangle data, precomputed once (tiny gathers, hoisted out of the
+    # scan by XLA) and padded to a whole number of chunks.
+    def padded(a):
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width)
+
+    tv = scene.tri_v
+    p0a = padded(scene.positions[tv[:, 0]])  # [Tp, 3]
+    p1a = padded(scene.positions[tv[:, 1]])
+    p2a = padded(scene.positions[tv[:, 2]])
+
+    need_uv = meta.any_alpha or (nee and meta.any_transparent)
+    if need_uv:
+        mat_a = padded(scene.tri_mat)
+        uv0a = padded(scene.uvs[tv[:, 0]])
+        uv1a = padded(scene.uvs[tv[:, 1]])
+        uv2a = padded(scene.uvs[tv[:, 2]])
+        n0a = padded(scene.normals[tv[:, 0]])
+        n1a = padded(scene.normals[tv[:, 1]])
+        n2a = padded(scene.normals[tv[:, 2]])
 
     def body(carry, ci):
-        t_cur, tri, u, v, back, any_hit = carry
-        first = ci * chunk
-        valid_n = jnp.minimum(n_tris - first, chunk)
-        got, t2, u2, v2, b2, id2 = _closest_in_leaf(
-            scene,
-            o,
-            d,
+        t_cur, tri, u, v, back, any_hit, atten = carry
+        start = ci * chunk
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, chunk)
+        in_range = start + jnp.arange(chunk, dtype=jnp.int32) < n_tris  # [C]
+
+        valid, t, uu, vv, bk = _mt_test(
+            o[:, None, :],
+            d[:, None, :],
+            sl(p0a)[None],
+            sl(p1a)[None],
+            sl(p2a)[None],
             t_min,
-            t_cur,
-            jnp.full((n,), first, jnp.int32),
-            jnp.full((n,), valid_n, jnp.int32),
-            chunk,
-        )
+            t_cur[:, None],
+        )  # all [N, C]
+        valid = valid & in_range[None, :]
+        tri_ids = (start + jnp.arange(chunk, dtype=jnp.int32))[None, :]
+
+        if need_uv:
+            mats = sl(mat_a)  # [C]
+            w_b = (1.0 - uu - vv)[..., None]
+            uv = (
+                w_b * sl(uv0a)[None]
+                + uu[..., None] * sl(uv1a)[None]
+                + vv[..., None] * sl(uv2a)[None]
+            )  # [N, C, 2]
+
+        if meta.any_alpha:
+            tb = scene.materials.tex_base[mats]  # [C]
+            has_a = scene.materials.has_alpha[mats] & (tb >= 0)
+            a_tex = sample_stack(
+                scene.tex_rgba,
+                jnp.broadcast_to(tb[None, :], (n, chunk)).reshape(-1),
+                uv.reshape(-1, 2),
+            ).reshape(n, chunk, 4)[..., 3]
+            alpha = jnp.where(has_a[None, :], a_tex, 1.0)
+            seed = (
+                alpha_seed
+                if alpha_seed is not None
+                else jnp.zeros((n,), jnp.uint32)
+            )
+            u_a = u32_to_unit_float(
+                mix32(
+                    seed[:, None]
+                    ^ tri_ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                )
+            )
+            valid = valid & ((alpha >= 1.0) | (u_a <= alpha))
+
+        if nee and meta.any_transparent:
+            thin = scene.materials.thin[mats]
+            trans = scene.materials.transmission[mats]
+            transparent = (thin & (trans > 0.0))[None, :]
+            tr_hit = valid & transparent
+            n_interp = (
+                w_b * sl(n0a)[None]
+                + uu[..., None] * sl(n1a)[None]
+                + vv[..., None] * sl(n2a)[None]
+            )
+            base = scene.materials.base_color[mats][..., :3][None]  # [1, C, 3]
+            if meta.any_textures:
+                tb2 = scene.materials.tex_base[mats]
+                b_tex = sample_stack(
+                    scene.tex_rgba,
+                    jnp.broadcast_to(tb2[None, :], (n, chunk)).reshape(-1),
+                    uv.reshape(-1, 2),
+                ).reshape(n, chunk, 4)[..., :3]
+                base = jnp.where(
+                    (tb2 >= 0)[None, :, None], base * b_tex * b_tex, base
+                )
+            cosd = jnp.abs(jnp.sum(n_interp * d[:, None, :], axis=-1))
+            factor = jnp.where(
+                tr_hit[..., None], cosd[..., None] * base, 1.0
+            )
+            atten = atten * jnp.prod(factor, axis=1)
+            valid = valid & ~transparent
+
+        t = jnp.where(valid, t, F32_MAX)
+        best = jnp.argmin(t, axis=-1)  # [N]
+        take = lambda a: jnp.take_along_axis(a, best[:, None], axis=-1)[:, 0]
+        got = jnp.any(valid, axis=-1)
+        t2 = jnp.where(got, take(t), t_cur)
         upd = got & (t2 < t_cur)
         return (
             jnp.where(upd, t2, t_cur),
-            jnp.where(upd, id2, tri),
-            jnp.where(upd, u2, u),
-            jnp.where(upd, v2, v),
-            jnp.where(upd, b2, back),
+            jnp.where(upd, take(jnp.broadcast_to(tri_ids, t.shape)), tri),
+            jnp.where(upd, take(uu), u),
+            jnp.where(upd, take(vv), v),
+            jnp.where(upd, take(bk), back),
             any_hit | got,
+            atten,
         ), None
 
     init = (
@@ -166,11 +345,15 @@ def intersect_brute(
         jnp.zeros((n,), jnp.float32),
         jnp.zeros((n,), jnp.bool_),
         jnp.zeros((n,), jnp.bool_),
+        jnp.ones((n, 3), jnp.float32),
     )
-    (t, tri, u, v, back, any_hit), _ = lax.scan(
-        body, init, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
-    return Hit(t, tri, u, v, back, jnp.ones((n, 3), jnp.float32), any_hit)
+    if n_chunks == 1:
+        (t, tri, u, v, back, any_hit, atten), _ = body(init, jnp.int32(0))
+    else:
+        (t, tri, u, v, back, any_hit, atten), _ = lax.scan(
+            body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+    return Hit(t, tri, u, v, back, atten, any_hit)
 
 
 def intersect_bvh(
@@ -181,6 +364,7 @@ def intersect_bvh(
     t_max,
     t_min: float = 1e-3,
     nee: bool = False,
+    alpha_seed=None,
 ):
     """Stack-based ordered BVH traversal over the whole wavefront.
 
@@ -217,6 +401,7 @@ def intersect_bvh(
         back: jnp.ndarray
         any_hit: jnp.ndarray
         active: jnp.ndarray
+        atten: jnp.ndarray
 
     st = S(
         node=jnp.zeros((n,), jnp.int32),
@@ -231,6 +416,7 @@ def intersect_bvh(
         back=jnp.zeros((n,), jnp.bool_),
         any_hit=jnp.zeros((n,), jnp.bool_),
         active=root_hit,
+        atten=jnp.ones((n, 3), jnp.float32),
     )
 
     def cond(st: S):
@@ -246,8 +432,10 @@ def intersect_bvh(
 
         # ---- leaf: fixed-width masked triangle test ----
         first = bvh.left[st.node]
-        got, t2, u2, v2, b2, id2 = _closest_in_leaf(
-            scene, o, d, t_min, st.t, first, jnp.where(do_leaf, count, 0), max_leaf
+        got, t2, u2, v2, b2, id2, atten = _closest_in_leaf(
+            scene, meta, o, d, t_min, st.t, first,
+            jnp.where(do_leaf, count, 0), max_leaf,
+            nee=nee, alpha_seed=alpha_seed, atten=st.atten,
         )
         upd = do_leaf & got
         t = jnp.where(upd, t2, st.t)
@@ -309,19 +497,12 @@ def intersect_bvh(
             active = active & ~upd
 
         return S(
-            node, dist, sp_post, snodes, sdist, t, tri, uu, vv, back, any_hit, active
+            node, dist, sp_post, snodes, sdist, t, tri, uu, vv, back,
+            any_hit, active, atten,
         )
 
     st = lax.while_loop(cond, body, st)
-    return Hit(
-        st.t,
-        st.tri,
-        st.u,
-        st.v,
-        st.back,
-        jnp.ones((n, 3), jnp.float32),
-        st.any_hit,
-    )
+    return Hit(st.t, st.tri, st.u, st.v, st.back, st.atten, st.any_hit)
 
 
 def intersect(
@@ -333,9 +514,12 @@ def intersect(
     t_min: float = 1e-3,
     nee: bool = False,
     use_bvh: Optional[bool] = None,
+    alpha_seed=None,
 ):
     """Dispatch: brute force for tiny scenes, BVH otherwise."""
     if use_bvh is None:
         use_bvh = meta.n_tris > 256
     fn = intersect_bvh if use_bvh else intersect_brute
-    return fn(scene, meta, o, d, t_max, t_min=t_min, nee=nee)
+    return fn(
+        scene, meta, o, d, t_max, t_min=t_min, nee=nee, alpha_seed=alpha_seed
+    )

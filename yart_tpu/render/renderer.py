@@ -124,6 +124,7 @@ class Renderer:
         on_wave: Optional[Callable[[WaveData, np.ndarray], None]] = None,
         chunk_pixels: Optional[int] = None,
         checkpoint: Optional[str] = None,
+        max_waves: Optional[int] = None,
     ) -> RenderResult:
         """Render progressively; `checkpoint` enables elastic resume: the HDR
         accumulator + samples-taken count fully determine renderer state
@@ -161,6 +162,8 @@ class Renderer:
             else:
                 remaining_plan.append(k - done)
                 done = 0
+        if max_waves is not None:
+            remaining_plan = remaining_plan[:max_waves]
         for wave_i, k in enumerate(remaining_plan):
             fn = self._wave_fn(k)
             wave_img = jnp.zeros((n_pix, 3), jnp.float32)

@@ -317,6 +317,10 @@ class SceneBuilder:
             max_leaf=max_leaf,
             bvh_depth=hb.depth,
             any_alpha=any(m.has_alpha for m in self._materials),
+            # transparent() == thin && transmission > 0 (parametric.cpp:80-82)
+            any_transparent=any(
+                m.thin and m.transmission > 0.0 for m in self._materials
+            ),
             any_textures=any(
                 m.tex_base >= 0
                 or m.tex_mr >= 0

@@ -140,3 +140,4 @@ class SceneMeta:
     bvh_depth: int  # max traversal stack depth needed
     any_alpha: bool = False  # any material has alpha-tested transparency
     any_textures: bool = False
+    any_transparent: bool = False  # any thin-transmissive (NEE-transparent) material
