@@ -23,7 +23,9 @@ def setup():
         CameraConfig(image_size=size, focal_length=28.0,
                      position=(0, 1.0, 3.4), forward=(0, 0, -1))
     )
-    cfg = RenderConfig(samples=4, max_depth=3)
+    # rr_start_depth > max_depth disables roulette: its kill decision is a
+    # discontinuity that central differences see but detached AD does not.
+    cfg = RenderConfig(samples=4, max_depth=3, rr_start_depth=99)
     sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
     yy, xx = np.meshgrid(np.arange(12), np.arange(12), indexing="ij")
     px = jnp.asarray(np.repeat(xx.reshape(-1), 4), jnp.int32)

@@ -195,3 +195,51 @@ def test_owen_exact_scrambler_nests():
     f = np.sort(np.asarray(qmc.u32_to_unit_float(out)))
     strata = np.floor(f * 16).astype(int)
     assert len(set(strata.tolist())) == 16
+
+
+def test_stratified_sampler():
+    """Stratified: each pixel's n samples hit each stratum exactly once per
+    dim, uniform in [0,1) (sampler.cpp:19-44)."""
+    import jax.numpy as jnp
+    from yart_tpu.ops.qmc import make_sampler
+
+    spp = 16
+    s = make_sampler("stratified", spp)
+    st = s.init_lanes(
+        jnp.zeros(spp, jnp.uint32),
+        jnp.zeros(spp, jnp.uint32),
+        jnp.arange(spp, dtype=jnp.uint32),
+    )
+    v = np.asarray(s.get1d(st, jnp.uint32(5)))
+    assert v.shape == (spp,)
+    assert (v >= 0).all() and (v < 1).all()
+    # one sample per stratum
+    strata = np.sort((v * spp).astype(int))
+    np.testing.assert_array_equal(strata, np.arange(spp))
+
+    v2 = np.asarray(s.get2d(st, jnp.uint32(9)))
+    assert ((v2 >= 0) & (v2 < 1)).all()
+    cells = np.sort(
+        (v2[:, 1] * s.y_samples).astype(int) * s.x_samples
+        + (v2[:, 0] * s.x_samples).astype(int)
+    )
+    np.testing.assert_array_equal(cells, np.arange(spp))
+    # different dims decorrelate the permutation
+    v3 = np.asarray(s.get1d(st, jnp.uint32(7)))
+    assert not np.array_equal((v3 * spp).astype(int), (v * spp).astype(int))
+
+
+def test_zsobol_scrambler_variants():
+    from yart_tpu.ops.qmc import make_sampler
+
+    import jax.numpy as jnp
+
+    for kind in ("zsobol:null", "zsobol:binary", "zsobol:fastowen", "zsobol:owen"):
+        s = make_sampler(kind, 8, (16, 16))
+        st = s.init_lanes(
+            jnp.arange(4, dtype=jnp.uint32),
+            jnp.arange(4, dtype=jnp.uint32),
+            jnp.zeros(4, jnp.uint32),
+        )
+        v = np.asarray(s.get2d(st, jnp.uint32(0)))
+        assert ((v >= 0) & (v < 1)).all(), kind

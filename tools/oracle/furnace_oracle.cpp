@@ -12,11 +12,98 @@
 
 using namespace yart;
 
+static void addQuad(std::vector<math::float3>& verts,
+                    std::vector<VertexData>& vdata, std::vector<Face>& faces,
+                    math::float3 p0, math::float3 p1, math::float3 p2,
+                    math::float3 p3, uint32_t mat) {
+  using namespace math;
+  float3 n = normalized(cross(p1 - p0, p2 - p0));
+  uint32_t k = verts.size();
+  for (const float3& p : {p0, p1, p2, p3}) {
+    verts.push_back(p);
+    vdata.push_back({n, float4(1, 0, 0, 1), float2(0, 0)});
+  }
+  faces.push_back({k, k + 1, k + 2, mat});
+  faces.push_back({k, k + 2, k + 3, mat});
+}
+
+static int cornellMain(bool useMis, uint32_t spp) {
+  using namespace math;
+  std::vector<float3> verts;
+  std::vector<VertexData> vdata;
+  std::vector<Face> faces;
+  float s = 1.0f;
+  addQuad(verts, vdata, faces, {-s,0,-s},{s,0,-s},{s,0,s},{-s,0,s}, 0);
+  addQuad(verts, vdata, faces, {-s,2,s},{s,2,s},{s,2,-s},{-s,2,-s}, 0);
+  addQuad(verts, vdata, faces, {-s,0,-s},{-s,2,-s},{s,2,-s},{s,0,-s}, 0);
+  addQuad(verts, vdata, faces, {-s,0,s},{-s,2,s},{-s,2,-s},{-s,0,-s}, 1);
+  addQuad(verts, vdata, faces, {s,0,-s},{s,2,-s},{s,2,s},{s,0,s}, 2);
+  addQuad(verts, vdata, faces, {-0.3f,1.995f,0.3f},{0.3f,1.995f,0.3f},
+          {0.3f,1.995f,-0.3f},{-0.3f,1.995f,-0.3f}, 3);
+
+  Scene scene((Node()));
+  auto mat = [&](float3 base, float3 em) {
+    scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
+        base, nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+        0.0f, 1.0f, 0.0f, 1.5f, 0.0f, 0.0f, 0.0f, 0.0f, em, 1.0f, false,
+        float3(1), 0.0f)));
+  };
+  mat(float3(0.73f,0.73f,0.73f), float3(0));
+  mat(float3(0.65f,0.05f,0.05f), float3(0));
+  mat(float3(0.12f,0.45f,0.15f), float3(0));
+  mat(float3(0,0,0), float3(15.0f, 12.75f, 10.5f));
+
+  scene.addMesh(std::make_unique<Mesh>(verts, vdata, faces));
+  Node meshNode(&scene.mesh(0));
+  // Register emissive triangles as area lights (gltf.cpp:299-314 analog).
+  {
+    uint32_t i = 0; int32_t li = 0;
+    for (const auto& tri : scene.mesh(0).triangles()) {
+      const float3* em = scene.material(scene.mesh(0).material(i)).emission();
+      if (em) {
+        scene.addLight(AreaLight(&tri, &scene.mesh(0), *em, Transform()));
+        scene.mesh(0).lightIdx(i) = li++;
+      }
+      i++;
+    }
+  }
+  scene.root().appendChild(std::move(meshNode));
+
+  Buffer buffer(16, 16);
+  Camera camera(uint2(16, 16), 28.0f, 0.0f, float2(36, 24),
+                float3(0, 1.0f, 3.4f), float3(0, 0, -1.0f));
+  SobolSampler<FastOwenScrambler> sampler(spp, uint2(16, 16));
+  std::unique_ptr<cpu::Integrator> integ;
+  if (useMis) integ = std::make_unique<cpu::MISIntegrator>(buffer, camera, sampler);
+  else integ = std::make_unique<cpu::NaiveIntegrator>(buffer, camera, sampler);
+  integ->scene = &scene;
+  integ->samples = spp;
+  integ->samplingBounds = ubounds2({0, 0}, {16, 16});
+  integ->samplingOffset = uint2(0, 0);
+  integ->render();
+
+  // Print quadrant means for regional comparison.
+  const char* names[4] = {"TL", "TR", "BL", "BR"};
+  int qx[4] = {0, 8, 0, 8}, qy[4] = {0, 0, 8, 8};
+  for (int q = 0; q < 4; q++) {
+    double r = 0, g = 0, bl = 0;
+    for (int y = qy[q]; y < qy[q] + 8; y++)
+      for (int x = qx[q]; x < qx[q] + 8; x++) {
+        auto px = buffer(x, y);
+        r += px.x(); g += px.y(); bl += px.z();
+      }
+    std::cout << "cornell " << (useMis ? "mis" : "naive") << " " << names[q]
+              << " " << r / 64 << " " << g / 64 << " " << bl / 64 << std::endl;
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   bool useMis = argc > 1 && std::string(argv[1]) == "mis";
   uint32_t spp = argc > 2 ? atoi(argv[2]) : 64;
   float roughness = argc > 3 ? atof(argv[3]) : 1.0f;
   float metallic = argc > 4 ? atof(argv[4]) : 0.0f;
+  if (argc > 5 && std::string(argv[5]) == "cornell") return cornellMain(useMis, spp);
 
   uint32_t nt = 32, np = 64;
   std::vector<math::float3> verts;

@@ -303,71 +303,35 @@ def load_tables():
 
 # ---------------------------------------------------------------------------
 # Device-side fetch (batched; mirrors luts.hpp:33-187 semantics)
+#
+# Implemented as gather-free hat-weight contractions (ops/gatherless.py):
+# per-lane gathers are ~100x slower than one-hot/hat matmuls on TPU, and the
+# hat formulation reproduces the reference's clamped bilerp/trilerp exactly.
 # ---------------------------------------------------------------------------
 
-
-def _axis(x, n):
-    """x in [0,1] -> (idx, frac) with idx clamped to n-2 (luts.hpp:35-38)."""
-    xo = x * (n - 1.0)
-    i = jnp.clip(xo.astype(jnp.int32), 0, n - 2)
-    return i, xo - i.astype(x.dtype)
-
-
-def _lerp(a, b, t):
-    return a + (b - a) * t
+from yart_tpu.ops.gatherless import fetch_1d, fetch_2d, fetch_3d
 
 
 def ggx_e(tables, cos_theta, r):
-    """Bilinear fetch of ggx_E (luts.hpp:34-45); axes [r][cos]."""
-    tab = jnp.asarray(tables["ggx_E"])
-    ri, ro = _axis(r, 32)
-    ci, co = _axis(cos_theta, 32)
-    d00 = tab[ri, ci]
-    d01 = tab[ri, ci + 1]
-    d10 = tab[ri + 1, ci]
-    d11 = tab[ri + 1, ci + 1]
-    return _lerp(_lerp(d00, d01, co), _lerp(d10, d11, co), ro)
+    """ggxE (luts.hpp:34-45); axes [r][cos]."""
+    return fetch_2d(jnp.asarray(tables["ggx_E"]), r, cos_theta)
 
 
 def ggx_eavg(tables, r):
-    tab = jnp.asarray(tables["ggx_Eavg"])
-    ri, ro = _axis(r, 32)
-    return _lerp(tab[ri], tab[ri + 1], ro)
-
-
-def _trilerp(tab, a, ao, b, bo, c, co):
-    v000 = tab[a, b, c]
-    v001 = tab[a, b, c + 1]
-    v010 = tab[a, b + 1, c]
-    v011 = tab[a, b + 1, c + 1]
-    v100 = tab[a + 1, b, c]
-    v101 = tab[a + 1, b, c + 1]
-    v110 = tab[a + 1, b + 1, c]
-    v111 = tab[a + 1, b + 1, c + 1]
-    x00 = _lerp(v000, v001, co)
-    x01 = _lerp(v010, v011, co)
-    x10 = _lerp(v100, v101, co)
-    x11 = _lerp(v110, v111, co)
-    return _lerp(_lerp(x00, x01, bo), _lerp(x10, x11, bo), ao)
+    """ggxEavg (luts.hpp:53-58)."""
+    return fetch_1d(jnp.asarray(tables["ggx_Eavg"]), r)
 
 
 def ggx_base_e(tables, f0, r, cos_theta):
-    """Trilinear fetch of ggx_base_E (luts.hpp:62-99); axes [f0][r][cos]."""
-    fi, fo = _axis(f0, 16)
-    ri, ro = _axis(r, 16)
-    ci, co = _axis(cos_theta, 16)
-    return _trilerp(jnp.asarray(tables["ggx_base_E"]), fi, fo, ri, ro, ci, co)
+    """ggxBaseE (luts.hpp:70-99); axes [f0][r][cos]."""
+    f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
+    return fetch_3d(jnp.asarray(tables["ggx_base_E"]), f0, r, cos_theta)
 
 
 def ggx_base_eavg(tables, f0, r):
-    tab = jnp.asarray(tables["ggx_base_Eavg"])
-    fi, fo = _axis(f0, 16)
-    ri, ro = _axis(r, 16)
-    d00 = tab[fi, ri]
-    d01 = tab[fi, ri + 1]
-    d10 = tab[fi + 1, ri]
-    d11 = tab[fi + 1, ri + 1]
-    return _lerp(_lerp(d00, d01, ro), _lerp(d10, d11, ro), fo)
+    """ggxBaseEavg (luts.hpp:107-118); axes [f0][r]."""
+    f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
+    return fetch_2d(jnp.asarray(tables["ggx_base_Eavg"]), f0, r)
 
 
 def _glass_f0(ior):
@@ -380,32 +344,18 @@ def ggx_glass_e(tables, ior, r, cos_theta):
     """ggxGlassE (luts.hpp:127-160): branchless over the ior<1 (inv) variant;
     axes [f0][cos][r]."""
     inv = ior < 1.0
-    ior_n = jnp.where(inv, 1.0 / ior, ior)
+    ior_n = jnp.where(inv, 1.0 / jnp.maximum(ior, 1e-6), ior)
     f0 = _glass_f0(ior_n)
-    fi, fo = _axis(f0, 16)
-    ci, co = _axis(cos_theta, 16)
-    ri, ro = _axis(r, 16)
-    v_n = _trilerp(jnp.asarray(tables["ggx_glass_E"]), fi, fo, ci, co, ri, ro)
-    v_i = _trilerp(jnp.asarray(tables["ggx_glass_inv_E"]), fi, fo, ci, co, ri, ro)
+    v_n = fetch_3d(jnp.asarray(tables["ggx_glass_E"]), f0, cos_theta, r)
+    v_i = fetch_3d(jnp.asarray(tables["ggx_glass_inv_E"]), f0, cos_theta, r)
     return jnp.where(inv, v_i, v_n)
 
 
 def ggx_glass_eavg(tables, ior, r):
+    """ggxGlassEavg (luts.hpp:168-187); axes [f0][r]."""
     inv = ior < 1.0
-    ior_n = jnp.where(inv, 1.0 / ior, ior)
+    ior_n = jnp.where(inv, 1.0 / jnp.maximum(ior, 1e-6), ior)
     f0 = _glass_f0(ior_n)
-    fi, fo = _axis(f0, 16)
-    ri, ro = _axis(r, 16)
-
-    def fetch(tab):
-        d00 = tab[fi, ri]
-        d01 = tab[fi, ri + 1]
-        d10 = tab[fi + 1, ri]
-        d11 = tab[fi + 1, ri + 1]
-        return _lerp(_lerp(d00, d01, ro), _lerp(d10, d11, ro), fo)
-
-    return jnp.where(
-        inv,
-        fetch(jnp.asarray(tables["ggx_glass_inv_Eavg"])),
-        fetch(jnp.asarray(tables["ggx_glass_Eavg"])),
-    )
+    v_n = fetch_2d(jnp.asarray(tables["ggx_glass_Eavg"]), f0, r)
+    v_i = fetch_2d(jnp.asarray(tables["ggx_glass_inv_Eavg"]), f0, r)
+    return jnp.where(inv, v_i, v_n)

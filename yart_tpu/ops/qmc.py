@@ -463,8 +463,120 @@ class ZSobolSampler:
 
 
 def make_sampler(kind: str, spp: int, full_res=(1, 1), seed: int = 0):
+    """Sampler factory; `zsobol` accepts scrambler variants via suffix,
+    e.g. "zsobol:owen", "zsobol:null" (default fastowen, src/main.cpp:16)."""
     if kind == "hash":
         return HashSampler(spp, full_res, seed)
-    if kind == "zsobol":
-        return ZSobolSampler(spp, full_res, seed)
+    if kind == "stratified":
+        return StratifiedSampler(spp, full_res, seed)
+    if kind.startswith("zsobol"):
+        scrambler = kind.split(":", 1)[1] if ":" in kind else "fastowen"
+        return ZSobolSampler(spp, full_res, seed, scrambler=scrambler)
     raise ValueError(f"unknown sampler kind: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampler (src/core/sampler.cpp:19-44)
+# ---------------------------------------------------------------------------
+
+
+def permutation_element(i, l: int, p):
+    """Kensler-style hash-based random permutation of [0, l) (the reference's
+    `permel`, src/core/rng.hpp:102-132). `l` is static; i, p are [N] u32."""
+    w = l - 1
+    for sh in (1, 2, 4, 8, 16):
+        w |= w >> sh
+    w = U32(w)
+    i = jnp.asarray(i, U32)
+    p = jnp.asarray(p, U32)
+
+    def round_fn(i):
+        i ^= p
+        i *= U32(0xE170893D)
+        i ^= p >> 16
+        i ^= (i & w) >> 4
+        i ^= p >> 8
+        i *= U32(0x0929EB3F)
+        i ^= p >> 23
+        i ^= (i & w) >> 1
+        i *= U32(1) | (p >> 27)
+        i *= U32(0x6935FA69)
+        i ^= (i & w) >> 11
+        i *= U32(0x74DCB303)
+        i ^= (i & w) >> 2
+        i *= U32(0x9E501CC3)
+        i ^= (i & w) >> 2
+        i *= U32(0xC860A3DF)
+        i &= w
+        i ^= i >> 5
+        return i
+
+    # Rejection loop: each round keeps lanes with i < l; a handful of rounds
+    # drives the miss probability to ~0 (expected < 2 rounds since w < 2l).
+    out = round_fn(i)
+    for _ in range(8):
+        out = jnp.where(out >= U32(l), round_fn(out), out)
+    out = jnp.minimum(out, U32(l - 1))  # safety clamp
+    return (out + p) % U32(l)
+
+
+class StratifiedSampler:
+    """Counter-based stratified sampler.
+
+    Rewrites the reference StratifiedSampler (sampler.cpp:19-44) without the
+    xoshiro state: the per-dim stratum comes from `permutation_element` keyed
+    by hash(pixel, dim) and the intra-stratum jitter from the counter-based
+    hash stream — same stratification structure, sharding-invariant streams
+    (the reference's jitter is an arbitrary xoshiro draw anyway).
+    """
+
+    def __init__(self, spp: int, full_res=(0, 0), seed: int = 0):
+        import math as _math
+
+        n = max(1, int(spp))
+        self.x_samples = max(1, int(_math.sqrt(n)))
+        self.y_samples = max(1, (n + self.x_samples - 1) // self.x_samples)
+        self.n_strata = self.x_samples * self.y_samples
+        self.seed = np.uint32(seed)
+
+    def init_lanes(self, px, py, sample_idx):
+        pix_key = mix32(
+            jnp.asarray(px, U32) * U32(0x9E3779B9)
+            ^ mix32(jnp.asarray(py, U32) ^ U32(self.seed))
+        )
+        return (pix_key, jnp.asarray(sample_idx, U32))
+
+    def _stratum(self, state, dim):
+        pix_key, sidx = state
+        key = mix32(pix_key ^ jnp.asarray(dim, U32) * U32(0x85EBCA6B))
+        return permutation_element(sidx, self.n_strata, key)
+
+    def _jitter(self, state, dim, salt):
+        pix_key, sidx = state
+        v = mix32(
+            pix_key
+            ^ sidx * U32(0xC2B2AE35)
+            ^ jnp.asarray(dim, U32) * U32(0x27D4EB2F)
+            ^ U32(salt)
+        )
+        return u32_to_unit_float(v)
+
+    def get1d(self, state, dim):
+        s = self._stratum(state, dim)
+        return (s.astype(jnp.float32) + self._jitter(state, dim, 0x1)) / self.n_strata
+
+    def get2d(self, state, dim):
+        s = self._stratum(state, dim)
+        x = (s % U32(self.x_samples)).astype(jnp.float32)
+        y = (s // U32(self.x_samples)).astype(jnp.float32)
+        return jnp.stack(
+            [
+                (x + self._jitter(state, dim, 0x2)) / self.x_samples,
+                (y + self._jitter(state, dim, 0x3)) / self.y_samples,
+            ],
+            axis=-1,
+        )
+
+    def lane_seed(self, state):
+        pix_key, sidx = state
+        return mix32(pix_key ^ sidx * U32(0xA511E9B3))

@@ -29,6 +29,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from yart_tpu.ops import ggx, lut, warps
+from yart_tpu.ops.gatherless import onehot_matmul
 from yart_tpu.ops.vecmath import absdot, dot, fresnel_dielectric, fresnel_schlick, normalize, refract
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
@@ -86,39 +87,72 @@ def roughen(r):
 
 
 def resolve_material(scene: CompiledScene, meta: SceneMeta, mat_idx, uv) -> LaneMaterial:
-    """Gather material row + texture modulation (parametric.cpp:88-110)."""
+    """Material row fetch + texture modulation (parametric.cpp:88-110).
+
+    The whole material table is packed into one [M, F] matrix and fetched as
+    ONE one-hot matmul (per-lane gathers are ~100x slower on TPU; gradients
+    flow through the matmul to the table for differentiable rendering).
+    """
     m = scene.materials
-    base = m.base_color[mat_idx][..., :3]
-    metallic = m.metallic[mat_idx]
-    rough = m.roughness[mat_idx]
-    trans = m.transmission[mat_idx]
-    cc = m.clearcoat[mat_idx]
-    ccr = m.cc_roughness[mat_idx]
-    emission = m.emission[mat_idx]
+    f32 = jnp.float32
+    packed = jnp.concatenate(
+        [
+            m.base_color[:, :3],                    # 0:3
+            m.metallic[:, None],                    # 3
+            m.roughness[:, None],                   # 4
+            m.transmission[:, None],                # 5
+            m.ior[:, None],                         # 6
+            m.anisotropic[:, None],                 # 7
+            m.aniso_rotation[:, None],              # 8
+            m.clearcoat[:, None],                   # 9
+            m.cc_roughness[:, None],                # 10
+            m.emission,                             # 11:14
+            m.normal_scale[:, None],                # 14
+            m.thin[:, None].astype(f32),            # 15
+            m.volume_color,                         # 16:19
+            m.volume_density[:, None],              # 19
+            m.tex_base[:, None].astype(f32),        # 20
+            m.tex_mr[:, None].astype(f32),          # 21
+            m.tex_transmission[:, None].astype(f32),# 22
+            m.tex_normal[:, None].astype(f32),      # 23
+            m.tex_clearcoat[:, None].astype(f32),   # 24
+            m.tex_emission[:, None].astype(f32),    # 25
+        ],
+        axis=1,
+    )
+    rows = onehot_matmul(packed, mat_idx)  # [N, 26]
+
+    base = rows[:, 0:3]
+    metallic = rows[:, 3]
+    rough = rows[:, 4]
+    trans = rows[:, 5]
+    cc = rows[:, 9]
+    ccr = rows[:, 10]
+    emission = rows[:, 11:14]
 
     if meta.any_textures:
-        tb = m.tex_base[mat_idx]
+        tb = rows[:, 20].astype(jnp.int32)
         base_tex = sample_stack(scene.tex_rgba, tb, uv)
         # sRGB color stored gamma-2: decode = square (texture.hpp:112-114).
         base = jnp.where((tb >= 0)[..., None], base * base_tex[..., :3] ** 2, base)
 
-        tmr = m.tex_mr[mat_idx]
+        tmr = rows[:, 21].astype(jnp.int32)
         mr = sample_stack(scene.tex_2ch, tmr, uv)
         has_mr = tmr >= 0
         rough = jnp.where(has_mr, rough * mr[..., 0], rough)
         metallic = jnp.where(has_mr, metallic * mr[..., 1], metallic)
 
-        tt = m.tex_transmission[mat_idx]
+        tt = rows[:, 22].astype(jnp.int32)
         tr = sample_stack(scene.tex_mono, tt, uv)
         trans = jnp.where(tt >= 0, trans * tr[..., 0], trans)
 
-        tc = m.tex_clearcoat[mat_idx]
+        tc = rows[:, 24].astype(jnp.int32)
         cct = sample_stack(scene.tex_mono, tc, uv)
         has_cc = tc >= 0
         cc = jnp.where(has_cc, cc * cct[..., 0], cc)
         ccr = jnp.where(has_cc, ccr * cct[..., 0], ccr)
 
-        te = m.tex_emission[mat_idx]
+        te = rows[:, 25].astype(jnp.int32)
         em = sample_stack(scene.tex_rgb, te, uv)
         emission = jnp.where((te >= 0)[..., None], emission * em ** 2, emission)
 
@@ -126,18 +160,18 @@ def resolve_material(scene: CompiledScene, meta: SceneMeta, mat_idx, uv) -> Lane
         base=base,
         metallic=metallic,
         roughness=rough,
-        roughness_base=m.roughness[mat_idx],
+        roughness_base=rows[:, 4],
         transmission=trans,
-        ior=m.ior[mat_idx],
-        anisotropic=m.anisotropic[mat_idx],
-        aniso_rotation=m.aniso_rotation[mat_idx],
+        ior=rows[:, 6],
+        anisotropic=rows[:, 7],
+        aniso_rotation=rows[:, 8],
         clearcoat=cc,
         cc_roughness=ccr,
-        cc_roughness_base=m.cc_roughness[mat_idx],
+        cc_roughness_base=rows[:, 10],
         emission=emission,
-        thin=m.thin[mat_idx],
-        volume_color=m.volume_color[mat_idx],
-        volume_density=m.volume_density[mat_idx],
+        thin=rows[:, 15] > 0.5,
+        volume_color=rows[:, 16:19],
+        volume_density=rows[:, 19],
     )
 
 

@@ -47,8 +47,13 @@ def _bucket_means(samples, m: int, reject_negative: bool):
 
 def _sorted_by_luma(means):
     luma = jnp.sum(means * _LW, axis=-1)  # [N, m]
-    order = jnp.argsort(luma, axis=-1)
-    return jnp.take_along_axis(means, order[..., None], axis=1)
+    order = jnp.argsort(luma, axis=-1)  # [N, m]
+    # Permutation as a one-hot contraction (gather-free; m <= 15).
+    m = means.shape[1]
+    perm = (order[..., :, None] == jnp.arange(m)[None, None, :]).astype(
+        means.dtype
+    )  # [N, m_out, m_in]
+    return jnp.einsum("noi,nic->noc", perm, means)
 
 
 def _gini(sorted_means):

@@ -27,6 +27,7 @@ from jax import lax
 
 from yart_tpu.config import RenderConfig
 from yart_tpu.ops import lut
+from yart_tpu.ops.gatherless import onehot_matmul
 from yart_tpu.ops.vecmath import (
     absdot,
     dot,
@@ -214,17 +215,17 @@ def li(
         if mis:
             # solid-angle conversion vs the light sampler's pdf
             dist2 = jnp.sum((st.last_p - sh.p) ** 2, axis=-1)
-            pdf_area = 1.0 / jnp.maximum(
-                scene.light_area[jnp.clip(sh.light, 0, max(meta.n_lights - 1, 0))],
-                1e-20,
-            ) if meta.n_lights else jnp.zeros((n,), jnp.float32)
-            sel_p = (
-                lights.select_p_area(
-                    scene, meta, jnp.clip(sh.light, 0, max(meta.n_lights - 1, 0))
+            if meta.n_lights:
+                lrow = onehot_matmul(
+                    jnp.stack([scene.light_area, scene.light_power], axis=1),
+                    jnp.clip(sh.light, 0, meta.n_lights - 1),
                 )
-                if meta.n_lights
-                else jnp.zeros((n,), jnp.float32)
-            )
+                pdf_area = 1.0 / jnp.maximum(lrow[:, 0], 1e-20)
+                total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+                sel_p = lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
+            else:
+                pdf_area = jnp.zeros((n,), jnp.float32)
+                sel_p = jnp.zeros((n,), jnp.float32)
             pdf_light = (
                 pdf_area
                 * dist2
@@ -308,7 +309,7 @@ def li(
         if mis:
             u_rr = sampler.get1d(lane_state, dim0 + 7)
             q = jnp.maximum(0.0, 1.0 - max_component(atten))
-            rr_on = (depth_new > 1) & active
+            rr_on = (depth_new >= cfg.rr_start_depth) & active
             killed = rr_on & (u_rr < q)
             active = active & ~killed
             scale = jnp.where(rr_on & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-9), 1.0)

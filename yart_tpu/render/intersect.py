@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from yart_tpu.ops.gatherless import select_along
 from yart_tpu.ops.qmc import mix32, u32_to_unit_float
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
@@ -179,7 +180,7 @@ def _closest_in_leaf(
 
     t = jnp.where(valid, t, F32_MAX)
     best = jnp.argmin(t, axis=-1)  # [N]
-    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=-1)[:, 0]
+    take = lambda a: select_along(a, best)
     any_valid = jnp.any(valid, axis=-1)
     return (
         any_valid,
@@ -187,7 +188,7 @@ def _closest_in_leaf(
         take(u),
         take(v),
         take(back),
-        take(tri_ids),
+        take(jnp.broadcast_to(tri_ids, t.shape)),
         atten,
     )
 
@@ -324,7 +325,7 @@ def intersect_brute(
 
         t = jnp.where(valid, t, F32_MAX)
         best = jnp.argmin(t, axis=-1)  # [N]
-        take = lambda a: jnp.take_along_axis(a, best[:, None], axis=-1)[:, 0]
+        take = lambda a: select_along(a, best)
         got = jnp.any(valid, axis=-1)
         t2 = jnp.where(got, take(t), t_cur)
         upd = got & (t2 < t_cur)
@@ -365,6 +366,7 @@ def intersect_bvh(
     t_min: float = 1e-3,
     nee: bool = False,
     alpha_seed=None,
+    max_iters: int = 0,
 ):
     """Stack-based ordered BVH traversal over the whole wavefront.
 
@@ -376,6 +378,10 @@ def intersect_bvh(
     stack_depth = meta.bvh_depth + 2
     max_leaf = meta.max_leaf
     bvh = scene.bvh
+    # Safety bound on lockstep iterations (a single pathological lane would
+    # otherwise stall the whole wavefront); generous: every node visited once.
+    if max_iters <= 0:
+        max_iters = int(bvh.left.shape[0]) + 64
 
     idir = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     odir = -o * idir
@@ -389,6 +395,7 @@ def intersect_bvh(
     root_hit, root_d = box_test(jnp.zeros((n,), jnp.int32), t0)
 
     class S(NamedTuple):
+        iters: jnp.ndarray  # [] iteration counter (safety cap)
         node: jnp.ndarray  # [N] current node id
         dist: jnp.ndarray  # [N] entry distance of current node
         sp: jnp.ndarray  # [N] stack pointer
@@ -404,6 +411,7 @@ def intersect_bvh(
         atten: jnp.ndarray
 
     st = S(
+        iters=jnp.asarray(0, jnp.int32),
         node=jnp.zeros((n,), jnp.int32),
         dist=root_d,
         sp=jnp.zeros((n,), jnp.int32),
@@ -420,7 +428,7 @@ def intersect_bvh(
     )
 
     def cond(st: S):
-        return jnp.any(st.active)
+        return jnp.any(st.active) & (st.iters < max_iters)
 
     def body(st: S):
         count = bvh.count[st.node]
@@ -481,8 +489,8 @@ def intersect_bvh(
         can_pop = sp > 0
         sp_post = jnp.where(need_pop & can_pop, sp - 1, sp)
         pop_idx = jnp.clip(sp_post, 0, stack_depth - 1)
-        popped_node = jnp.take_along_axis(snodes, pop_idx[:, None], axis=1)[:, 0]
-        popped_d = jnp.take_along_axis(sdist, pop_idx[:, None], axis=1)[:, 0]
+        popped_node = select_along(snodes, pop_idx)
+        popped_d = select_along(sdist, pop_idx)
 
         node = jnp.where(
             do_inner & descend, near_node, jnp.where(need_pop, popped_node, st.node)
@@ -497,8 +505,8 @@ def intersect_bvh(
             active = active & ~upd
 
         return S(
-            node, dist, sp_post, snodes, sdist, t, tri, uu, vv, back,
-            any_hit, active, atten,
+            st.iters + 1, node, dist, sp_post, snodes, sdist, t, tri,
+            uu, vv, back, any_hit, active, atten,
         )
 
     st = lax.while_loop(cond, body, st)

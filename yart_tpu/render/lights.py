@@ -18,6 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from yart_tpu.ops import warps
+from yart_tpu.ops.gatherless import onehot_matmul
 from yart_tpu.ops.distribution import pdf_dist2d, sample_dist2d
 from yart_tpu.ops.vecmath import inv_octahedral_uv, normalize, octahedral_uv
 from yart_tpu.render.texture import sample_hdr
@@ -88,21 +89,28 @@ def sample_light(
             0,
             meta.n_lights - 1,
         ).astype(jnp.int32)
-        tri = scene.light_tri[li]
-        tv = scene.tri_v[tri]
-        v0 = scene.positions[tv[..., 0]]
-        v1 = scene.positions[tv[..., 1]]
-        v2 = scene.positions[tv[..., 2]]
-        n0 = scene.normals[tv[..., 0]]
-        n1 = scene.normals[tv[..., 1]]
-        n2 = scene.normals[tv[..., 2]]
+        # One packed one-hot fetch of all per-light data (gather-free).
+        lpack = jnp.concatenate(
+            [
+                scene.light_verts.reshape(-1, 9),   # 0:9
+                scene.light_norms.reshape(-1, 9),   # 9:18
+                scene.light_emission,               # 18:21
+                scene.light_area[:, None],          # 21
+                scene.light_power[:, None],         # 22
+            ],
+            axis=1,
+        )
+        rows = onehot_matmul(lpack, li)
+        verts = rows[:, 0:9].reshape(-1, 3, 3)
+        norms = rows[:, 9:18].reshape(-1, 3, 3)
         b = warps.sample_tri_uniform(u)
-        pos = b[..., 0:1] * v0 + b[..., 1:2] * v1 + b[..., 2:3] * v2
-        nrm = b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
+        pos = jnp.einsum("nk,nkc->nc", b, verts)
+        nrm = jnp.einsum("nk,nkc->nc", b, norms)
         wi_area = normalize(pos - p)
-        pdf_area = 1.0 / jnp.maximum(scene.light_area[li], 1e-20)
-        li_rgb = scene.light_emission[li]
-        sel_area = select_p_area(scene, meta, li)
+        pdf_area = 1.0 / jnp.maximum(rows[:, 21], 1e-20)
+        li_rgb = rows[:, 18:21]
+        total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+        sel_area = rows[:, 22] / total * (1.0 - p_inf)
     else:
         pos = jnp.zeros_like(p)
         nrm = jnp.zeros_like(p)

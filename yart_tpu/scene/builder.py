@@ -247,6 +247,19 @@ class SceneBuilder:
             * np.where(two_sided, 2.0, 1.0)
         ).astype(np.float32)
         l_cdf = np.concatenate([[0.0], np.cumsum(l_power)]).astype(np.float32)
+        # Pre-pack light triangle geometry so device-side light sampling is
+        # gather-free (one-hot matmul over [L, ...] tables).
+        if light_tri.size:
+            ltv = tri_v[light_tri]
+            l_verts = np.stack(
+                [positions[ltv[:, k]] for k in range(3)], axis=1
+            ).astype(np.float32)
+            l_norms = np.stack(
+                [normals[ltv[:, k]] for k in range(3)], axis=1
+            ).astype(np.float32)
+        else:
+            l_verts = np.zeros((0, 3, 3), np.float32)
+            l_norms = np.zeros((0, 3, 3), np.float32)
 
         # Scene bounds and radius (bounding sphere of the root AABB).
         lo = positions.min(axis=0)
@@ -297,6 +310,8 @@ class SceneBuilder:
             light_power=jnp.asarray(l_power),
             light_cdf=jnp.asarray(l_cdf),
             light_two_sided=jnp.asarray(two_sided),
+            light_verts=jnp.asarray(l_verts),
+            light_norms=jnp.asarray(l_norms),
             env_image=jnp.asarray(env_img),
             env_dist=env_dist,
             env_lavg=jnp.asarray(env_lavg, jnp.float32),

@@ -110,6 +110,8 @@ class CompiledScene(NamedTuple):
     light_power: jnp.ndarray  # [L] scalar power for the sampler
     light_cdf: jnp.ndarray  # [L+1] cumulative power, unnormalized
     light_two_sided: jnp.ndarray  # [L] bool
+    light_verts: jnp.ndarray  # [L, 3, 3] triangle vertices (prepacked)
+    light_norms: jnp.ndarray  # [L, 3, 3] vertex normals (prepacked)
 
     # Environment light (octahedral; src/core/light.cpp:137-242)
     env_image: jnp.ndarray  # [H, W, 3] linear HDR (1x1 zeros if absent)
