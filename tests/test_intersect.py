@@ -103,3 +103,27 @@ def test_bvh_build_sane():
         for c in (l, l + 1):
             assert np.all(hb.node_min[ni] <= hb.node_min[c] + 1e-5)
             assert np.all(hb.node_max[ni] >= hb.node_max[c] - 1e-5)
+
+
+def test_sorted_chunked_matches_plain():
+    from yart_tpu.render.intersect import intersect_bvh_sorted
+
+    scene, meta = make_scene(600, seed=2)
+    rng = np.random.default_rng(9)
+    o, d = random_rays(rng, 700)
+    plain = jax.jit(lambda o, d: intersect_bvh(scene, meta, o, d, 1e30))(o, d)
+    sorted_h = jax.jit(
+        lambda o, d: intersect_bvh_sorted(
+            scene, meta, o, d, 1e30, chunk=256
+        )
+    )(o, d)
+    np.testing.assert_array_equal(
+        np.asarray(plain.mask), np.asarray(sorted_h.mask)
+    )
+    m = np.asarray(plain.mask)
+    np.testing.assert_allclose(
+        np.asarray(plain.t)[m], np.asarray(sorted_h.t)[m], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.tri)[m], np.asarray(sorted_h.tri)[m]
+    )

@@ -50,6 +50,14 @@ def parse_args(argv=None):
     p.add_argument("--preview", default=None,
                    help="write a tonemapped preview PNG after every wave "
                         "(the live-view analog of the reference's Metal viewer)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR "
+                        "(the TPU analog of the reference's Mrays/s prints, "
+                        "SURVEY.md §5)")
+    p.add_argument("--debug-nan", action="store_true",
+                   help="enable jax_debug_nans (functional analog of "
+                        "TSan/race checks; the reference silently drops NaN "
+                        "samples, estimator.hpp:35)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--devices", type=int, default=None,
                    help="shard over this many devices (default: all)")
@@ -109,6 +117,11 @@ def main(argv=None) -> int:
     from yart_tpu.io.image import write_png, write_ppm
     from yart_tpu.render.renderer import Renderer
 
+    if args.debug_nan:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     w, h = (int(x) for x in args.size.lower().split("x"))
     scene, meta = build_scene(args)
     pos, fwd = default_camera(args, args.scene)
@@ -154,7 +167,18 @@ def main(argv=None) -> int:
         if args.preview:
             write_png(args.preview, preview, gamma_encode=False)
 
-    res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
 
     out = args.output
     if out.endswith(".ppm"):

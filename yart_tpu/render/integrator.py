@@ -64,19 +64,25 @@ class Shading(NamedTuple):
 
 def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
     tri = jnp.clip(hit.tri, 0, meta.n_tris - 1)
-    tv = scene.tri_v[tri]
-    w = 1.0 - hit.u - hit.v
-    bary = jnp.stack([w, hit.u, hit.v], axis=-1)[..., None]  # [N, 3, 1]
+    # ONE packed row gather: vertex normals, uvs, tangents, mat, light.
+    row = scene.shade_pack[tri]  # [N, 32]
+    w = (1.0 - hit.u - hit.v)[..., None]
+    u = hit.u[..., None]
+    v = hit.v[..., None]
 
-    n = normalize(jnp.sum(scene.normals[tv] * bary, axis=1))
-    uv = jnp.sum(scene.uvs[tv] * bary, axis=1)
-
-    mat_idx = scene.tri_mat[tri]
+    n = normalize(w * row[..., 0:3] + u * row[..., 3:6] + v * row[..., 6:9])
+    uv = w * row[..., 9:11] + u * row[..., 11:13] + v * row[..., 13:15]
+    mat_idx = lax.bitcast_convert_type(row[..., 27], jnp.int32)
+    light_idx = lax.bitcast_convert_type(row[..., 28], jnp.int32)
 
     # Normal mapping through the interpolated tangent frame (bsdf.cpp:44-58).
     if meta.any_textures:
-        t4 = jnp.sum(scene.tangents[tv] * bary, axis=1)
-        tn_idx = scene.materials.tex_normal[mat_idx]
+        t4 = (
+            w * row[..., 15:19] + u * row[..., 19:23] + v * row[..., 23:27]
+        )
+        tn_idx = onehot_matmul(
+            scene.materials.tex_normal.astype(jnp.float32)[:, None], mat_idx
+        )[..., 0].astype(jnp.int32)
         tex_n = sample_stack(scene.tex_rgb, tn_idx, uv) * 2.0 - 1.0
         fx, fy, fz = frame_from_normal_tangent(n, t4[..., :3], t4[..., 3])
         mapped = normalize(local_to_world(tex_n, fx, fy, fz))
@@ -88,7 +94,7 @@ def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
         tg=shading_tangent(n),
         uv=uv,
         mat=mat_idx,
-        light=scene.tri_light[tri],
+        light=light_idx,
         back=hit.back_side,
     )
 

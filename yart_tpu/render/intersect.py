@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from yart_tpu.ops.gatherless import select_along
+from yart_tpu.ops.gatherless import onehot_matmul, select_along
 from yart_tpu.ops.qmc import mix32, u32_to_unit_float
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
@@ -111,10 +111,11 @@ def _closest_in_leaf(
     in_leaf = offs[None, :] < n_valid[:, None]
     tri_ids = jnp.clip(tri_ids, 0, scene.tri_v.shape[0] - 1)
 
-    tv = scene.tri_v[tri_ids]  # [N, L, 3]
-    p0 = scene.positions[tv[..., 0]]  # [N, L, 3]
-    p1 = scene.positions[tv[..., 1]]
-    p2 = scene.positions[tv[..., 2]]
+    # ONE packed row gather per candidate (v0, v1, v2, mat, light).
+    rows = scene.tri_pack[tri_ids]  # [N, L, 12]
+    p0 = rows[..., 0:3]
+    p1 = rows[..., 3:6]
+    p2 = rows[..., 6:9]
 
     valid, t, u, v, back = _mt_test(
         o[:, None, :], d[:, None, :], p0, p1, p2, t_min, t_cur[:, None]
@@ -125,18 +126,31 @@ def _closest_in_leaf(
         meta.any_alpha or (nee and meta.any_transparent)
     )
     if need_uv:
-        mats = scene.tri_mat[tri_ids]  # [N, L]
+        mats = lax.bitcast_convert_type(rows[..., 9], jnp.int32)  # [N, L]
+        srow = scene.shade_pack[tri_ids]  # [N, L, 32] one gather
         w_b = (1.0 - u - v)[..., None]
         uv = (
-            w_b * scene.uvs[tv[..., 0]]
-            + u[..., None] * scene.uvs[tv[..., 1]]
-            + v[..., None] * scene.uvs[tv[..., 2]]
+            w_b * srow[..., 9:11]
+            + u[..., None] * srow[..., 11:13]
+            + v[..., None] * srow[..., 13:15]
         )  # [N, L, 2]
         n_lanes, L = tri_ids.shape
 
     if meta is not None and meta.any_alpha:
-        tb = scene.materials.tex_base[mats]
-        has_a = scene.materials.has_alpha[mats] & (tb >= 0)
+        mrow = onehot_matmul(
+            jnp.stack(
+                [
+                    scene.materials.tex_base.astype(jnp.float32),
+                    scene.materials.has_alpha.astype(jnp.float32),
+                    scene.materials.thin.astype(jnp.float32),
+                    scene.materials.transmission,
+                ],
+                axis=1,
+            ),
+            mats.reshape(-1),
+        ).reshape(mats.shape + (4,))
+        tb = mrow[..., 0].astype(jnp.int32)
+        has_a = (mrow[..., 1] > 0.5) & (tb >= 0)
         a_tex = sample_stack(
             scene.tex_rgba, tb.reshape(-1), uv.reshape(-1, 2)
         ).reshape(n_lanes, L, 4)[..., 3]
@@ -152,18 +166,31 @@ def _closest_in_leaf(
         valid = valid & ((alpha >= 1.0) | (u_a <= alpha))
 
     if nee and meta is not None and meta.any_transparent:
-        thin = scene.materials.thin[mats]
-        trans = scene.materials.transmission[mats]
+        mrow2 = onehot_matmul(
+            jnp.stack(
+                [
+                    scene.materials.thin.astype(jnp.float32),
+                    scene.materials.transmission,
+                    scene.materials.tex_base.astype(jnp.float32),
+                ],
+                axis=1,
+            ),
+            mats.reshape(-1),
+        ).reshape(mats.shape + (3,))
+        thin = mrow2[..., 0] > 0.5
+        trans = mrow2[..., 1]
         transparent = thin & (trans > 0.0)
         tr_hit = valid & transparent
         n_interp = (
-            w_b * scene.normals[tv[..., 0]]
-            + u[..., None] * scene.normals[tv[..., 1]]
-            + v[..., None] * scene.normals[tv[..., 2]]
+            w_b * srow[..., 0:3]
+            + u[..., None] * srow[..., 3:6]
+            + v[..., None] * srow[..., 6:9]
         )
-        base = scene.materials.base_color[mats][..., :3]
+        base = onehot_matmul(
+            scene.materials.base_color[:, :3], mats.reshape(-1)
+        ).reshape(mats.shape + (3,))
         if meta.any_textures:
-            tb2 = scene.materials.tex_base[mats]
+            tb2 = mrow2[..., 2].astype(jnp.int32)
             b_tex = sample_stack(
                 scene.tex_rgba, tb2.reshape(-1), uv.reshape(-1, 2)
             ).reshape(n_lanes, L, 4)[..., :3]
@@ -386,13 +413,15 @@ def intersect_bvh(
     idir = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     odir = -o * idir
 
-    def box_test(node_ids, t_cur):
-        bmin = bvh.node_min[node_ids]  # [N, 3]
-        bmax = bvh.node_max[node_ids]
+    def box_test_rows(rows, t_cur):
+        """Slab test from packed node rows [N, 8]."""
+        bmin = rows[..., 0:3]
+        bmax = rows[..., 3:6]
         return _slab_test(bmin * idir + odir, bmax * idir + odir, t_min, t_cur)
 
     t0 = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
-    root_hit, root_d = box_test(jnp.zeros((n,), jnp.int32), t0)
+    root_row = jnp.broadcast_to(scene.node_pack[0], (n, 8))
+    root_hit, root_d = box_test_rows(root_row, t0)
 
     class S(NamedTuple):
         iters: jnp.ndarray  # [] iteration counter (safety cap)
@@ -431,7 +460,10 @@ def intersect_bvh(
         return jnp.any(st.active) & (st.iters < max_iters)
 
     def body(st: S):
-        count = bvh.count[st.node]
+        # ONE packed row gather for the current node.
+        row = scene.node_pack[st.node]  # [N, 8]
+        left = lax.bitcast_convert_type(row[..., 6], jnp.int32)
+        count = lax.bitcast_convert_type(row[..., 7], jnp.int32)
         is_leaf = count > 0
         near_ok = st.dist < st.t
         do_leaf = st.active & is_leaf & near_ok
@@ -439,7 +471,7 @@ def intersect_bvh(
         do_pop_only = st.active & ~near_ok
 
         # ---- leaf: fixed-width masked triangle test ----
-        first = bvh.left[st.node]
+        first = left
         got, t2, u2, v2, b2, id2, atten = _closest_in_leaf(
             scene, meta, o, d, t_min, st.t, first,
             jnp.where(do_leaf, count, 0), max_leaf,
@@ -454,10 +486,10 @@ def intersect_bvh(
         any_hit = st.any_hit | upd
 
         # ---- inner: test both children, order near-first ----
-        l_child = bvh.left[st.node]
+        l_child = jnp.where(is_leaf, 0, left)
         r_child = l_child + 1
-        lh, ld = box_test(l_child, t)
-        rh, rd = box_test(r_child, t)
+        lh, ld = box_test_rows(scene.node_pack[l_child], t)
+        rh, rd = box_test_rows(scene.node_pack[r_child], t)
         lh = lh & do_inner
         rh = rh & do_inner
         both = lh & rh
@@ -513,6 +545,153 @@ def intersect_bvh(
     return Hit(st.t, st.tri, st.u, st.v, st.back, st.atten, st.any_hit)
 
 
+def intersect_brute_pallas(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    o,
+    d,
+    t_max,
+    t_min: float = 1e-3,
+    interpret: bool = False,
+):
+    """Pallas fused brute-force kernel (kernels/pallas_intersect.py)."""
+    from yart_tpu.kernels.pallas_intersect import LANE, SUBLANES, brute_pallas
+
+    n = o.shape[0]
+    block = LANE * SUBLANES
+    pad = (-n) % block
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        t_max_v = jnp.pad(t_max_v, (0, pad))
+    t, u, v, back, tri = brute_pallas(
+        scene.tri_pack, o, d, t_max_v, meta.n_tris, t_min, interpret=interpret
+    )
+    if pad:
+        t, u, v, back, tri = (a[:n] for a in (t, u, v, back, tri))
+    hit = tri >= 0
+    return Hit(t, tri, u, v, back, jnp.ones((n, 3), jnp.float32), hit)
+
+
+
+
+def _part1by2(x):
+    """Spread 10 bits of x with two zero bits between each (Morton helper,
+    32-bit version of src/math/math.hpp:122-130)."""
+    x = jnp.asarray(x, jnp.uint32) & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _coherence_key(scene, o, d):
+    """Sort key grouping rays by direction octant then origin Morton cell —
+    rays in a chunk then traverse similar node sequences."""
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    lo = scene.scene_center - scene.scene_radius
+    inv = 1.0 / jnp.maximum(2.0 * scene.scene_radius, 1e-20)
+    q = jnp.clip((o - lo) * inv, 0.0, 1.0)
+    cell = (q * 127.0).astype(jnp.uint32)
+    morton = (
+        _part1by2(cell[:, 0])
+        | (_part1by2(cell[:, 1]) << 1)
+        | (_part1by2(cell[:, 2]) << 2)
+    )
+    return (octant << 21) | morton
+
+
+def intersect_bvh_sorted(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    o,
+    d,
+    t_max,
+    t_min: float = 1e-3,
+    nee: bool = False,
+    alpha_seed=None,
+    chunk: int = 32768,
+):
+    """Coherence-sorted, chunked BVH traversal.
+
+    The lockstep while_loop runs as many iterations as the WORST lane in the
+    whole wavefront. Sorting rays by (direction octant, origin Morton cell)
+    and traversing independent chunks lets each chunk terminate at its own
+    maximum — coherent chunks finish in far fewer iterations. Results are
+    scattered back, so output is lane-exact vs intersect_bvh.
+    """
+    n = o.shape[0]
+    if n < 2 * chunk:
+        return intersect_bvh(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
+    pad = (-n) % chunk
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    seed_v = (
+        jnp.broadcast_to(alpha_seed, (n,))
+        if alpha_seed is not None
+        else jnp.zeros((n,), jnp.uint32)
+    )
+
+    key = _coherence_key(scene, o, d)
+    order = jnp.argsort(key)
+    if pad:
+        # Padded entries point one past the end; gathers clip (harmless
+        # because t_max < t_min kills them) and the scatter-back drops them.
+        order_p = jnp.concatenate(
+            [order, jnp.full((pad,), n, order.dtype)]
+        )
+        live = jnp.concatenate(
+            [jnp.ones((n,), bool), jnp.zeros((pad,), bool)]
+        )
+    else:
+        order_p = order
+        live = None
+
+    safe = jnp.minimum(order_p, n - 1)
+    o_s = o[safe]
+    d_s = d[safe]
+    t_s = t_max_v[safe]
+    if live is not None:
+        t_s = jnp.where(live, t_s, -1.0)  # padded lanes terminate instantly
+    seed_s = seed_v[safe]
+
+    n_chunks = o_s.shape[0] // chunk
+
+    def run(args):
+        oc, dc, tc, sc = args
+        return intersect_bvh(
+            scene, meta, oc, dc, tc, t_min=t_min, nee=nee, alpha_seed=sc
+        )
+
+    hits = lax.map(
+        run,
+        (
+            o_s.reshape(n_chunks, chunk, 3),
+            d_s.reshape(n_chunks, chunk, 3),
+            t_s.reshape(n_chunks, chunk),
+            seed_s.reshape(n_chunks, chunk),
+        ),
+    )
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:]), hits
+    )
+
+    # Scatter back to original lane order; padded entries (index n) drop.
+    def unsort(a):
+        out = jnp.zeros((n,) + a.shape[1:], a.dtype)
+        return out.at[order_p].set(a, mode="drop")
+
+    return Hit(*(unsort(a) for a in flat))
+
+
 def intersect(
     scene: CompiledScene,
     meta: SceneMeta,
@@ -524,10 +703,25 @@ def intersect(
     use_bvh: Optional[bool] = None,
     alpha_seed=None,
 ):
-    """Dispatch: brute force for tiny scenes, BVH otherwise."""
+    """Dispatch: fused Pallas brute kernel for small scenes on TPU, XLA brute
+    for small scenes elsewhere, stack BVH traversal for large scenes."""
     if use_bvh is None:
-        use_bvh = meta.n_tris > 256
-    fn = intersect_bvh if use_bvh else intersect_brute
-    return fn(
+        use_bvh = meta.n_tris > 4096
+    if not use_bvh:
+        gates = meta.any_alpha or (nee and meta.any_transparent)
+        if not gates and jax.default_backend() == "tpu":
+            return intersect_brute_pallas(
+                scene, meta, o, d, t_max, t_min=t_min
+            )
+        return intersect_brute(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
+    if o.shape[0] >= 131072:
+        return intersect_bvh_sorted(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
+    return intersect_bvh(
         scene, meta, o, d, t_max, t_min=t_min, nee=nee, alpha_seed=alpha_seed
     )

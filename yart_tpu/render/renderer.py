@@ -93,15 +93,11 @@ class Renderer:
         """Jitted wave chunk: [P] pixels x k samples -> estimator-reduced
         [P, 3] + ray count. One compile per distinct wave size."""
         if k not in self._wave_fns:
-            scene, meta, cam, sampler, cfg = (
-                self.scene,
-                self.meta,
-                self.cam,
-                self.sampler,
-                self.cfg,
-            )
+            meta, cam, sampler, cfg = (self.meta, self.cam, self.sampler, self.cfg)
 
-            def fn(px, py, sample_base):
+            # `scene` is a jit ARGUMENT, not a closure constant: embedding a
+            # multi-MB scene as constants bloats compile time enormously.
+            def fn(scene, px, py, sample_base):
                 p = px.shape[0]
                 lane_px = jnp.repeat(px, k)
                 lane_py = jnp.repeat(py, k)
@@ -174,7 +170,7 @@ class Renderer:
                 else:
                     sl = jnp.arange(start, end)
                 est, rays = fn(
-                    px_all[sl], py_all[sl], jnp.uint32(samples_taken)
+                    self.scene, px_all[sl], py_all[sl], jnp.uint32(samples_taken)
                 )
                 wave_img = wave_img.at[sl[: end - start]].set(est[: end - start])
                 total_rays += float(rays)

@@ -289,6 +289,30 @@ class SceneBuilder:
 
         materials = _material_table(self._materials)
 
+        # Packed gather rows (device traversal/shading fetch ONE row each).
+        bits = lambda a: np.ascontiguousarray(a, np.int32).view(np.float32)
+        node_pack = np.concatenate(
+            [
+                hb.node_min,
+                hb.node_max,
+                bits(hb.left)[:, None],
+                bits(hb.count)[:, None],
+            ],
+            axis=1,
+        ).astype(np.float32)
+        tri_pack = np.zeros((tri_v.shape[0], 12), np.float32)
+        tri_pack[:, 0:3] = v0
+        tri_pack[:, 3:6] = v1
+        tri_pack[:, 6:9] = v2
+        tri_pack[:, 9] = bits(tri_mat)
+        tri_pack[:, 10] = bits(tri_light)
+        shade_pack = np.zeros((tri_v.shape[0], 32), np.float32)
+        shade_pack[:, 0:9] = normals[tri_v].reshape(-1, 9)
+        shade_pack[:, 9:15] = uvs[tri_v].reshape(-1, 6)
+        shade_pack[:, 15:27] = tangents[tri_v].reshape(-1, 12)
+        shade_pack[:, 27] = bits(tri_mat)
+        shade_pack[:, 28] = bits(tri_light)
+
         scene = CompiledScene(
             positions=jnp.asarray(positions),
             normals=jnp.asarray(normals),
@@ -303,6 +327,9 @@ class SceneBuilder:
                 left=jnp.asarray(hb.left),
                 count=jnp.asarray(hb.count),
             ),
+            node_pack=jnp.asarray(node_pack),
+            tri_pack=jnp.asarray(tri_pack),
+            shade_pack=jnp.asarray(shade_pack),
             materials=materials,
             light_tri=jnp.asarray(light_tri),
             light_emission=jnp.asarray(l_emission),

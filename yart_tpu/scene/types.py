@@ -100,6 +100,11 @@ class CompiledScene(NamedTuple):
     tri_mat: jnp.ndarray  # [T] int32
     tri_light: jnp.ndarray  # [T] int32, -1 = not emissive
     bvh: FlatBVH
+    # Packed hot-path rows (one gather instead of many; int fields bitcast
+    # into the f32 rows):
+    node_pack: jnp.ndarray  # [Nn, 8] min(3) max(3) left count
+    tri_pack: jnp.ndarray  # [T, 12] v0 v1 v2 mat light pad(2)... see builder
+    shade_pack: jnp.ndarray  # [T, 32] n0 n1 n2 uv0 uv1 uv2 t0 t1 t2 mat light
 
     materials: MaterialTable
 
