@@ -1,0 +1,144 @@
+"""GLTF/GLB loader tests against synthetic assets."""
+
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from yart_tpu.scene.gltf import load
+
+
+def _build_glb(tmp_path, with_texture=False):
+    """Two-triangle quad with a red emissive material + a glass material."""
+    positions = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    normals = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+
+    bin_parts = [positions.tobytes(), normals.tobytes(), uvs.tobytes(),
+                 indices.tobytes()]
+    offsets = []
+    off = 0
+    for p in bin_parts:
+        offsets.append(off)
+        off += len(p)
+        off = (off + 3) & ~3
+    bin_blob = b""
+    for p, o in zip(bin_parts, offsets):
+        bin_blob += b"\x00" * (o - len(bin_blob)) + p
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"mesh": 0, "translation": [1.0, 2.0, 3.0], "scale": [2.0, 2.0, 2.0]}
+        ],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                        "indices": 3,
+                        "material": 0,
+                    }
+                ]
+            }
+        ],
+        "materials": [
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [0.8, 0.1, 0.1, 1.0],
+                    "metallicFactor": 0.0,
+                    "roughnessFactor": 0.4,
+                },
+                "emissiveFactor": [1.0, 0.5, 0.25],
+                "extensions": {
+                    "KHR_materials_emissive_strength": {"emissiveStrength": 4.0},
+                    "KHR_materials_ior": {"ior": 1.33},
+                    "KHR_materials_transmission": {"transmissionFactor": 0.5},
+                    "KHR_materials_clearcoat": {
+                        "clearcoatFactor": 0.7,
+                        "clearcoatRoughnessFactor": 0.2,
+                    },
+                    "KHR_materials_volume": {
+                        "attenuationColor": [0.9, 0.8, 0.7],
+                        "attenuationDistance": 2.0,
+                    },
+                },
+            }
+        ],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    pad_bin = bin_blob + b"\x00" * ((4 - len(bin_blob) % 4) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(pad_bin))
+        + struct.pack("<II", len(js), 0x4E4F534A)
+        + js
+        + struct.pack("<II", len(pad_bin), 0x004E4942)
+        + pad_bin
+    )
+    path = tmp_path / "test.glb"
+    path.write_bytes(glb)
+    return str(path)
+
+
+def test_glb_load(tmp_path):
+    path = _build_glb(tmp_path)
+    b = load(path)
+    scene, meta = b.compile()
+
+    assert meta.n_tris == 2
+    assert meta.n_materials == 1
+    # Emissive material -> both triangles registered as area lights
+    assert meta.n_lights == 2
+
+    # Node transform applied: scale 2 then translate (1,2,3)
+    pos = np.asarray(scene.positions)
+    np.testing.assert_allclose(pos.min(axis=0), [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(pos.max(axis=0), [3, 4, 3], atol=1e-5)
+
+    m = scene.materials
+    np.testing.assert_allclose(
+        np.asarray(m.base_color[0])[:3], [0.8, 0.1, 0.1], atol=1e-6
+    )
+    np.testing.assert_allclose(float(m.roughness[0]), 0.4, atol=1e-6)
+    np.testing.assert_allclose(float(m.ior[0]), 1.33, atol=1e-6)
+    np.testing.assert_allclose(float(m.transmission[0]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(m.clearcoat[0]), 0.7, atol=1e-6)
+    np.testing.assert_allclose(float(m.cc_roughness[0]), 0.2, atol=1e-6)
+    # emissive x strength
+    np.testing.assert_allclose(
+        np.asarray(m.emission[0]), [4.0, 2.0, 1.0], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.volume_color[0]), [0.9, 0.8, 0.7], atol=1e-6
+    )
+    np.testing.assert_allclose(float(m.volume_density[0]), 0.5, atol=1e-6)
+    assert bool(m.thin[0])  # gltf.cpp:104-105 hardcodes thin
+
+    # Light power: area of 2x2 quad = 4, split into 2 tris of 2 each;
+    # power = |Le| * A * pi (light.cpp:36-38)
+    expected = np.linalg.norm([4.0, 2.0, 1.0]) * 2.0 * np.pi
+    np.testing.assert_allclose(
+        np.asarray(scene.light_power), [expected, expected], rtol=1e-5
+    )

@@ -127,3 +127,38 @@ def test_sorted_chunked_matches_plain():
     np.testing.assert_array_equal(
         np.asarray(plain.tri)[m], np.asarray(sorted_h.tri)[m]
     )
+
+
+def test_bvh8_matches_binary():
+    from yart_tpu.render.intersect import intersect_bvh8
+
+    for n_tris, seed in ((500, 0), (2000, 3), (50, 7)):
+        scene, meta = make_scene(n_tris, seed=seed)
+        rng = np.random.default_rng(seed + 100)
+        o, d = random_rays(rng, 512)
+        h2 = jax.jit(lambda o, d: intersect_bvh(scene, meta, o, d, 1e30))(o, d)
+        h8 = jax.jit(lambda o, d: intersect_bvh8(scene, meta, o, d, 1e30))(o, d)
+        np.testing.assert_array_equal(
+            np.asarray(h2.mask), np.asarray(h8.mask), err_msg=f"tris={n_tris}"
+        )
+        m = np.asarray(h2.mask)
+        np.testing.assert_allclose(
+            np.asarray(h2.t)[m], np.asarray(h8.t)[m], rtol=1e-5, atol=1e-6
+        )
+        same = np.asarray(h2.tri)[m] == np.asarray(h8.tri)[m]
+        assert same.mean() > 0.995, same.mean()
+
+
+def test_bvh8_nee_any_hit():
+    from yart_tpu.render.intersect import intersect_bvh8
+
+    scene, meta = make_scene(400, seed=1)
+    rng = np.random.default_rng(8)
+    o, d = random_rays(rng, 256)
+    closest = jax.jit(lambda o, d: intersect_bvh(scene, meta, o, d, 1e30))(o, d)
+    anyhit = jax.jit(
+        lambda o, d: intersect_bvh8(scene, meta, o, d, 1e30, nee=True)
+    )(o, d)
+    np.testing.assert_array_equal(
+        np.asarray(closest.mask), np.asarray(anyhit.mask)
+    )

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yart_tpu.ops.distribution import Dist2D, build_dist2d
-from yart_tpu.scene.bvh import build_bvh
+from yart_tpu.scene.bvh import build_bvh, collapse_bvh8
 from yart_tpu.scene.types import (
     CompiledScene,
     FlatBVH,
@@ -313,6 +313,16 @@ class SceneBuilder:
         shade_pack[:, 27] = bits(tri_mat)
         shade_pack[:, 28] = bits(tri_light)
 
+        # 8-wide BVH for the TPU traversal (binary kept as oracle/fallback).
+        hb8 = collapse_bvh8(hb)
+        wide_pack = np.concatenate(
+            [
+                hb8.boxes.reshape(-1, 48),
+                bits(hb8.child).reshape(-1, 8),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
         scene = CompiledScene(
             positions=jnp.asarray(positions),
             normals=jnp.asarray(normals),
@@ -328,6 +338,7 @@ class SceneBuilder:
                 count=jnp.asarray(hb.count),
             ),
             node_pack=jnp.asarray(node_pack),
+            wide_pack=jnp.asarray(wide_pack),
             tri_pack=jnp.asarray(tri_pack),
             shade_pack=jnp.asarray(shade_pack),
             materials=materials,
@@ -358,6 +369,7 @@ class SceneBuilder:
             has_env=has_env,
             max_leaf=max_leaf,
             bvh_depth=hb.depth,
+            wide_depth=hb8.depth,
             any_alpha=any(m.has_alpha for m in self._materials),
             # transparent() == thin && transmission > 0 (parametric.cpp:80-82)
             any_transparent=any(

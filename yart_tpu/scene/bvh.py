@@ -187,3 +187,115 @@ def sah_cost(bvh: HostBVH, c_trav: float = 1.0, c_isect: float = 1.0) -> float:
         c_trav * area[inner].sum() / root
         + c_isect * (area * bvh.count).sum() / root
     )
+
+
+class HostBVH8(NamedTuple):
+    """8-wide BVH collapsed from the binary SAH tree.
+
+    boxes: [M, 8, 6] child AABBs (min3, max3); empty slots +inf/-inf
+    child: [M, 8] int32 encoded refs:
+           >= 0: inner node index; == -1: empty;
+           <= -2: leaf, v = -(child+2); first = v >> 4; count = v & 15
+    depth: wide-tree depth (stack bound = 7 * depth)
+    """
+
+    boxes: np.ndarray
+    child: np.ndarray
+    depth: int
+
+
+def encode_leaf8(first: int, count: int) -> int:
+    assert count <= 15
+    return -(((first << 4) | count) + 2)
+
+
+def collapse_bvh8(hb: HostBVH, width: int = 8) -> HostBVH8:
+    """Collapse the binary tree: greedily expand the largest-area inner slot
+    until `width` children per node (the standard wide-BVH construction for
+    vector machines — replaces the reference's binary-only layout,
+    bvh.hpp:21-33, with a TPU-friendly 8-ary one)."""
+
+    def area(i):
+        d = np.maximum(hb.node_max[i] - hb.node_min[i], 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    boxes_out = []
+    child_out = []
+
+    # Root special case: binary root may itself be a leaf.
+    if hb.count[0] > 0:
+        boxes = np.zeros((1, width, 6), np.float32)
+        boxes[:, :, 0:3] = np.inf
+        boxes[:, :, 3:6] = -np.inf
+        boxes[0, 0, 0:3] = hb.node_min[0]
+        boxes[0, 0, 3:6] = hb.node_max[0]
+        child = np.full((1, width), -1, np.int64)
+        child[0, 0] = encode_leaf8(int(hb.left[0]), int(hb.count[0]))
+        return HostBVH8(boxes.astype(np.float32), child.astype(np.int32), 1)
+
+    # Iterative build: each work item is (binary_node, slot_index_in_output).
+    # First pass: create groups, recording child binary nodes needing groups.
+    group_of = {}
+    order = []
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        if b in group_of:
+            continue
+        group_of[b] = len(order)
+        order.append(b)
+        # expand slots
+        slots = [b]
+        while len(slots) < width:
+            inner = [i for i, s in enumerate(slots) if hb.count[s] == 0]
+            if not inner:
+                break
+            best = max(inner, key=lambda i: area(slots[i]))
+            s = slots.pop(best)
+            slots.extend([int(hb.left[s]), int(hb.left[s]) + 1])
+        # queue inner children (each becomes its own group)
+        for s in slots:
+            if hb.count[s] == 0:
+                stack.append(s)
+
+    m = len(order)
+    boxes = np.full((m, width, 6), 0.0, np.float32)
+    boxes[:, :, 0:3] = np.inf
+    boxes[:, :, 3:6] = -np.inf
+    child = np.full((m, width), -1, np.int64)
+    depths = np.zeros(m, np.int32)
+
+    for gi, b in enumerate(order):
+        slots = [b]
+        while len(slots) < width:
+            inner = [i for i, s in enumerate(slots) if hb.count[s] == 0]
+            if not inner:
+                break
+            best = max(inner, key=lambda i: area(slots[i]))
+            s = slots.pop(best)
+            slots.extend([int(hb.left[s]), int(hb.left[s]) + 1])
+        for k, s in enumerate(slots):
+            boxes[gi, k, 0:3] = hb.node_min[s]
+            boxes[gi, k, 3:6] = hb.node_max[s]
+            if hb.count[s] > 0:
+                child[gi, k] = encode_leaf8(int(hb.left[s]), int(hb.count[s]))
+            else:
+                child[gi, k] = group_of[s]
+
+    # depth via reverse topological walk (children have larger group ids than
+    # parents is NOT guaranteed with a stack -> compute iteratively)
+    depth = 1
+    level = {0}
+    seen = {0}
+    while level:
+        nxt = set()
+        for g in level:
+            for c in child[g]:
+                if c >= 0 and c not in seen:
+                    seen.add(int(c))
+                    nxt.add(int(c))
+        if nxt:
+            depth += 1
+        level = nxt
+
+    return HostBVH8(boxes, child.astype(np.int32), depth)

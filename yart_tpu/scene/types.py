@@ -103,6 +103,7 @@ class CompiledScene(NamedTuple):
     # Packed hot-path rows (one gather instead of many; int fields bitcast
     # into the f32 rows):
     node_pack: jnp.ndarray  # [Nn, 8] min(3) max(3) left count
+    wide_pack: jnp.ndarray  # [M8, 56] 8x(min3 max3) + 8 bitcast child refs
     tri_pack: jnp.ndarray  # [T, 12] v0 v1 v2 mat light pad(2)... see builder
     shade_pack: jnp.ndarray  # [T, 32] n0 n1 n2 uv0 uv1 uv2 t0 t1 t2 mat light
 
@@ -145,6 +146,7 @@ class SceneMeta:
     has_env: bool
     max_leaf: int
     bvh_depth: int  # max traversal stack depth needed
+    wide_depth: int = 8  # 8-ary tree depth (stack bound = 7 * wide_depth)
     any_alpha: bool = False  # any material has alpha-tested transparency
     any_textures: bool = False
     any_transparent: bool = False  # any thin-transmissive (NEE-transparent) material
