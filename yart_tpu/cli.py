@@ -22,6 +22,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="yart-tpu", description=__doc__)
     p.add_argument("scene", help=".gltf/.glb path or procedural name "
                                "(cornell | cornell-mat | spheres | furnace)")
+    p.add_argument("--config", default=None,
+                   help="JSON file of flag defaults (a config system — the "
+                        "reference's knobs are compile-time edits, "
+                        "README.md:19-20); explicit flags win")
     p.add_argument("-o", "--output", default="out.png", help="output image (.png/.ppm)")
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--size", default="512x512", help="WxH")
@@ -108,6 +112,26 @@ def default_camera(args, name):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            defaults = json.load(f)
+        # Re-parse so explicit command-line flags override file values.
+        p2 = parse_args([args.scene])
+        for k, v in defaults.items():
+            k = k.replace("-", "_")
+            if not hasattr(p2, k):
+                raise SystemExit(f"unknown config key: {k}")
+        import sys as _sys
+
+        given = {a.split("=")[0].lstrip("-").replace("-", "_")
+                 for a in (argv if argv is not None else _sys.argv[1:])
+                 if a.startswith("--")}
+        for k, v in defaults.items():
+            k2 = k.replace("-", "_")
+            if k2 not in given:
+                setattr(args, k2, v)
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),

@@ -407,105 +407,150 @@ def _pdf_clearcoat(tables, mat, a_coat, wo, wi):
 # ---------------------------------------------------------------------------
 
 
-def bsdf_f(tables, mat: LaneMaterial, wo, wi):
+def _lobe_flags(meta):
+    """Static lobe-usage gates (SceneMeta flags): lets scenes without a lobe
+    skip its entire trace."""
+    if meta is None:
+        return True, True, True, True
+    return (
+        meta.any_metallic,
+        meta.any_transmissive,
+        meta.any_clearcoat,
+        meta.any_anisotropy,
+    )
+
+
+def bsdf_f(tables, mat: LaneMaterial, wo, wi, meta=None):
     """Full layered f (parametric.cpp:84-132). Local-frame wo/wi [N, 3]."""
-    a = ggx.make_alphas(mat.roughness, mat.anisotropic)
-    wo_r = _rot_z(wo, -mat.aniso_rotation)
-    wi_r = _rot_z(wi, -mat.aniso_rotation)
+    use_metal, use_diel, use_coat, use_aniso = _lobe_flags(meta)
+    a = ggx.make_alphas(mat.roughness, mat.anisotropic if use_aniso else 0.0)
+    wo_r = _rot_z(wo, -mat.aniso_rotation) if use_aniso else wo
+    wi_r = _rot_z(wi, -mat.aniso_rotation) if use_aniso else wi
 
     c_metal = mat.metallic
     c_diel = (1.0 - mat.metallic) * mat.transmission
     c_glossy = (1.0 - mat.metallic) * (1.0 - mat.transmission)
 
-    val = c_metal[..., None] * _f_metallic(tables, mat, a, wo_r, wi_r)
-    val += c_diel[..., None] * _f_dielectric(tables, mat, a, wo_r, wi_r)
-    val += c_glossy[..., None] * _f_glossy(tables, mat, a, wo_r, wi_r)
+    val = c_glossy[..., None] * _f_glossy(tables, mat, a, wo_r, wi_r)
+    if use_metal:
+        val += c_metal[..., None] * _f_metallic(tables, mat, a, wo_r, wi_r)
+    if use_diel:
+        val += c_diel[..., None] * _f_dielectric(tables, mat, a, wo_r, wi_r)
 
-    a_coat = ggx.make_alphas(mat.cc_roughness)
-    f_coat, fc = _f_clearcoat(tables, mat, a_coat, wo_r, wi_r)
-    c = mat.clearcoat
-    val = (1.0 - c * fc)[..., None] * val + (c * f_coat)[..., None]
+    if use_coat:
+        a_coat = ggx.make_alphas(mat.cc_roughness)
+        f_coat, fc = _f_clearcoat(tables, mat, a_coat, wo_r, wi_r)
+        c = mat.clearcoat
+        val = (1.0 - c * fc)[..., None] * val + (c * f_coat)[..., None]
     return val
 
 
-def bsdf_pdf(tables, mat: LaneMaterial, wo, wi):
+def bsdf_pdf(tables, mat: LaneMaterial, wo, wi, meta=None):
     """Full layered pdf (parametric.cpp:135-177)."""
-    a = ggx.make_alphas(mat.roughness, mat.anisotropic)
-    wo_r = _rot_z(wo, -mat.aniso_rotation)
-    wi_r = _rot_z(wi, -mat.aniso_rotation)
+    use_metal, use_diel, use_coat, use_aniso = _lobe_flags(meta)
+    a = ggx.make_alphas(mat.roughness, mat.anisotropic if use_aniso else 0.0)
+    wo_r = _rot_z(wo, -mat.aniso_rotation) if use_aniso else wo
+    wi_r = _rot_z(wi, -mat.aniso_rotation) if use_aniso else wi
 
     p_metal = mat.metallic
     p_diel = (1.0 - mat.metallic) * mat.transmission
     p_glossy = (1.0 - mat.metallic) * (1.0 - mat.transmission)
 
-    pdf = p_metal * _pdf_metallic(tables, mat, a, wo_r, wi_r)
-    pdf += p_diel * _pdf_dielectric(tables, mat, a, wo_r, wi_r)
-    pdf += p_glossy * _pdf_glossy(tables, mat, a, wo_r, wi_r)
+    pdf = p_glossy * _pdf_glossy(tables, mat, a, wo_r, wi_r)
+    if use_metal:
+        pdf += p_metal * _pdf_metallic(tables, mat, a, wo_r, wi_r)
+    if use_diel:
+        pdf += p_diel * _pdf_dielectric(tables, mat, a, wo_r, wi_r)
 
-    a_coat = ggx.make_alphas(mat.cc_roughness)
-    pdf_coat, fc = _pdf_clearcoat(tables, mat, a_coat, wo_r, wi_r)
-    c = mat.clearcoat
-    return (1.0 - c * fc) * pdf + c * pdf_coat
+    if use_coat:
+        a_coat = ggx.make_alphas(mat.cc_roughness)
+        pdf_coat, fc = _pdf_clearcoat(tables, mat, a_coat, wo_r, wi_r)
+        c = mat.clearcoat
+        pdf = (1.0 - c * fc) * pdf + c * pdf_coat
+    return pdf
 
 
-def bsdf_sample(tables, mat: LaneMaterial, wo, u, uc, uc2, regularized):
+def bsdf_sample(tables, mat: LaneMaterial, wo, u, uc, uc2, regularized,
+                meta=None):
     """Full layered sample (parametric.cpp:179-258).
 
-    regularized: [N] bool — roughen() applied per-lane.
+    regularized: [N] bool — roughen() applied per-lane. Absent lobes (static
+    SceneMeta flags) are skipped at trace time.
     Returns a BSDFSample; lanes that sampled an invalid direction get the
     ABSORBED flag (flags == 0).
     """
+    use_metal, use_diel, use_coat, use_aniso = _lobe_flags(meta)
     r = jnp.where(regularized, roughen(mat.roughness), mat.roughness)
-    cr = jnp.where(regularized, roughen(mat.cc_roughness), mat.cc_roughness)
 
-    # --- clearcoat selection probability (parametric.cpp:211-227) ---
-    a_coat = ggx.make_alphas(cr)
-    wm_coat = ggx.sample_visible(a_coat, wo, u)
-    favg15 = _favg_fit(1.5)
-    eavg_c = lut.ggx_eavg(tables, cr)
-    fms_c = favg15 * favg15 * eavg_c / jnp.maximum(1.0 - favg15 * (1.0 - eavg_c), 1e-6)
-    e_o_c = lut.ggx_e(tables, jnp.clip(absdot(wo, wm_coat), 0, 1), cr)
-    kappa_c = 1.0 - (favg15 * e_o_c + fms_c * (1.0 - e_o_c))
+    n = wo.shape[0]
+    if use_coat:
+        cr = jnp.where(regularized, roughen(mat.cc_roughness), mat.cc_roughness)
+        # --- clearcoat selection probability (parametric.cpp:211-227) ---
+        a_coat = ggx.make_alphas(cr)
+        wm_coat = ggx.sample_visible(a_coat, wo, u)
+        favg15 = _favg_fit(1.5)
+        eavg_c = lut.ggx_eavg(tables, cr)
+        fms_c = favg15 * favg15 * eavg_c / jnp.maximum(
+            1.0 - favg15 * (1.0 - eavg_c), 1e-6
+        )
+        e_o_c = lut.ggx_e(tables, jnp.clip(absdot(wo, wm_coat), 0, 1), cr)
+        kappa_c = 1.0 - (favg15 * e_o_c + fms_c * (1.0 - e_o_c))
+        p_coat = mat.clearcoat * (1.0 - kappa_c)
+    else:
+        p_coat = jnp.zeros((n,), jnp.float32)
 
-    p_coat = mat.clearcoat * (1.0 - kappa_c)
     p_metal = (1.0 - p_coat) * mat.metallic
     p_diel = (1.0 - p_coat) * (
         mat.metallic + (1.0 - mat.metallic) * mat.transmission
     )
 
-    sel_coat = uc2 < p_coat
-    sel_metal = ~sel_coat & (uc2 < p_metal)
-    sel_diel = ~sel_coat & ~sel_metal & (uc2 < p_diel)
+    sel_coat = (uc2 < p_coat) if use_coat else jnp.zeros((n,), bool)
+    sel_metal = ~sel_coat & (uc2 < p_metal) if use_metal else jnp.zeros((n,), bool)
+    sel_diel = (
+        ~sel_coat & ~sel_metal & (uc2 < p_diel)
+        if use_diel
+        else jnp.zeros((n,), bool)
+    )
     sel_glossy = ~sel_coat & ~sel_metal & ~sel_diel
 
     # --- base-lobe shared state (anisotropy rotation + VNDF sample) ---
-    a = ggx.make_alphas(r, mat.anisotropic)
-    wo_r = _rot_z(wo, -mat.aniso_rotation)
+    a = ggx.make_alphas(r, mat.anisotropic if use_aniso else 0.0)
+    wo_r = _rot_z(wo, -mat.aniso_rotation) if use_aniso else wo
     wm = ggx.sample_visible(a, wo_r, u)
     smooth = ggx.smooth(a)
 
-    s_metal = _sample_metallic(tables, mat, a, smooth, wo_r, wm)
-    s_diel = _sample_dielectric(tables, mat, a, smooth, wo_r, wm, uc)
     s_glossy = _sample_glossy(tables, mat, a, smooth, wo_r, wm, u, uc)
-    s_coat = _sample_clearcoat(tables, mat, a_coat, wo, wm_coat, cr)
+    s_metal = (
+        _sample_metallic(tables, mat, a, smooth, wo_r, wm) if use_metal else None
+    )
+    s_diel = (
+        _sample_dielectric(tables, mat, a, smooth, wo_r, wm, uc)
+        if use_diel
+        else None
+    )
+    s_coat = (
+        _sample_clearcoat(tables, mat, a_coat, wo, wm_coat, cr)
+        if use_coat
+        else None
+    )
 
     def pick(field):
-        fc, fm, fd, fg = (
-            getattr(s_coat, field),
-            getattr(s_metal, field),
-            getattr(s_diel, field),
-            getattr(s_glossy, field),
-        )
-        expand = fc.ndim > sel_coat.ndim
-        c = sel_coat[..., None] if expand else sel_coat
-        m_ = sel_metal[..., None] if expand else sel_metal
-        d_ = sel_diel[..., None] if expand else sel_diel
-        return jnp.where(c, fc, jnp.where(m_, fm, jnp.where(d_, fd, fg)))
+        out = getattr(s_glossy, field)
+        for sel, smp in (
+            (sel_diel, s_diel), (sel_metal, s_metal), (sel_coat, s_coat)
+        ):
+            if smp is None:
+                continue
+            fv = getattr(smp, field)
+            sel_b = sel[..., None] if fv.ndim > sel.ndim else sel
+            out = jnp.where(sel_b, fv, out)
+        return out
 
     wi = pick("wi")
     # un-rotate base-lobe wi (parametric.cpp:254-255); clearcoat is unrotated.
-    wi_unrot = _rot_z(wi, mat.aniso_rotation)
-    wi = jnp.where(sel_coat[..., None], wi, wi_unrot)
+    if use_aniso:
+        wi_unrot = _rot_z(wi, mat.aniso_rotation)
+        wi = jnp.where(sel_coat[..., None], wi, wi_unrot)
 
     return BSDFSample(
         flags=pick("flags"),

@@ -206,7 +206,7 @@ def li(
         regularized = st.acc_rough > cfg.regularize_threshold
         fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
         wo_local = world_to_local(-st.d, fx, fy, fz)
-        smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized)
+        smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized, meta=meta)
         if differentiable:
             # Detached sampling: direction, pdf and lobe choice are constants;
             # f/Le keep their parameter dependence.
@@ -260,12 +260,9 @@ def li(
             u_l = sampler.get2d(lane_state, dim0 + 5)
             ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l)
 
-            f_l = B.bsdf_f(
-                tables, mat, wo_local, world_to_local(ls.wi, fx, fy, fz)
-            )
-            pdf_b = B.bsdf_pdf(
-                tables, mat, wo_local, world_to_local(ls.wi, fx, fy, fz)
-            )
+            wi_l_local = world_to_local(ls.wi, fx, fy, fz)
+            f_l = B.bsdf_f(tables, mat, wo_local, wi_l_local, meta=meta)
+            pdf_b = B.bsdf_pdf(tables, mat, wo_local, wi_l_local, meta=meta)
             to_l = ls.p - sh.p
             dist_l = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-20))
             nee_need = (

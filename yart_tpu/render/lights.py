@@ -84,11 +84,17 @@ def sample_light(
             p_inf < 1.0, (uc - p_inf) / max(1.0 - p_inf, 1e-9), 0.0
         )
         target = u_area * scene.light_cdf[-1]
+        # findFirst over the power CDF (light-sampler.cpp:71-75) as a
+        # broadcast compare-and-sum: batched searchsorted lowers poorly on
+        # TPU, and L is small.
         li = jnp.clip(
-            jnp.searchsorted(scene.light_cdf, target, side="right") - 1,
+            jnp.sum(
+                (scene.light_cdf[None, 1:] <= target[:, None]).astype(jnp.int32),
+                axis=-1,
+            ),
             0,
             meta.n_lights - 1,
-        ).astype(jnp.int32)
+        )
         # One packed one-hot fetch of all per-light data (gather-free).
         lpack = jnp.concatenate(
             [

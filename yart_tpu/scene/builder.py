@@ -375,6 +375,20 @@ class SceneBuilder:
             any_transparent=any(
                 m.thin and m.transmission > 0.0 for m in self._materials
             ),
+            any_metallic=any(
+                m.metallic > 0.0 or m.tex_mr >= 0 for m in self._materials
+            ),
+            any_transmissive=any(
+                m.transmission > 0.0 or m.tex_transmission >= 0
+                for m in self._materials
+            ),
+            any_clearcoat=any(
+                m.clearcoat > 0.0 or m.tex_clearcoat >= 0
+                for m in self._materials
+            ),
+            any_anisotropy=any(
+                m.anisotropic != 0.0 for m in self._materials
+            ),
             any_textures=any(
                 m.tex_base >= 0
                 or m.tex_mr >= 0

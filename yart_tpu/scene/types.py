@@ -150,3 +150,8 @@ class SceneMeta:
     any_alpha: bool = False  # any material has alpha-tested transparency
     any_textures: bool = False
     any_transparent: bool = False  # any thin-transmissive (NEE-transparent) material
+    # Static lobe usage — lets the BSDF skip whole lobes at trace time:
+    any_metallic: bool = True
+    any_transmissive: bool = True
+    any_clearcoat: bool = True
+    any_anisotropy: bool = True
