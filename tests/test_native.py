@@ -53,3 +53,19 @@ def test_native_quality_close_to_numpy():
     c_py = sah_cost(hb_py)
     # Same algorithm family: tree quality within 25% of the oracle.
     assert c_n < c_py * 1.25, (c_n, c_py)
+
+
+@pytest.mark.skipif(get_library() is None, reason="native toolchain unavailable")
+def test_native_bvh8_matches_python():
+    from yart_tpu.native import collapse_bvh8_native
+    from yart_tpu.scene.bvh import collapse_bvh8
+
+    v0, v1, v2 = soup(3000, seed=4)
+    hb = build_bvh(v0, v1, v2, max_leaf=4)
+    py8 = collapse_bvh8(hb)
+    na8 = collapse_bvh8_native(hb)
+    assert na8 is not None
+    assert na8.depth == py8.depth
+    assert na8.child.shape == py8.child.shape
+    np.testing.assert_array_equal(na8.child, py8.child)
+    np.testing.assert_allclose(na8.boxes, py8.boxes)

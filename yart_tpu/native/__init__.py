@@ -16,7 +16,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, "libyartnative.so")
-_SOURCES = ["bvh_builder.cpp"]
+_SOURCES = ["bvh_builder.cpp", "bvh8_collapse.cpp"]
 
 _lib = None
 _lib_tried = False
@@ -53,6 +53,11 @@ def get_library() -> Optional[ctypes.CDLL]:
                 lib.yart_build_bvh.argtypes = [
                     f32p, f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     f32p, f32p, i32p, i32p, i32p, i32p, i32p,
+                ]
+                lib.yart_collapse_bvh8.restype = ctypes.c_int
+                lib.yart_collapse_bvh8.argtypes = [
+                    f32p, f32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+                    f32p, i32p, i32p, i32p,
                 ]
                 _lib = lib
             except OSError:
@@ -95,3 +100,34 @@ def build_bvh_native(v0, v1, v2, max_leaf: int = 4, n_bins: int = 20):
     return HostBVH(
         node_min[:m], node_max[:m], left[:m], count[:m], order, int(depth[0])
     )
+
+
+def collapse_bvh8_native(hb, width: int = 8):
+    """C++ BVH8 collapse; returns HostBVH8 or None if unavailable."""
+    from yart_tpu.scene.bvh import HostBVH8
+
+    lib = get_library()
+    if lib is None or width != 8:
+        return None
+
+    n = int(hb.left.shape[0])
+    cap = max(1, n)
+    node_min = np.ascontiguousarray(hb.node_min, np.float32)
+    node_max = np.ascontiguousarray(hb.node_max, np.float32)
+    left = np.ascontiguousarray(hb.left, np.int32)
+    count = np.ascontiguousarray(hb.count, np.int32)
+    boxes = np.empty((cap, 8, 6), np.float32)
+    child = np.empty((cap, 8), np.int32)
+    out_m = np.zeros(1, np.int32)
+    out_d = np.zeros(1, np.int32)
+
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.yart_collapse_bvh8(
+        p(node_min), p(node_max), pi(left), pi(count), n, cap,
+        p(boxes), pi(child), pi(out_m), pi(out_d),
+    )
+    if rc != 0:
+        return None
+    m = int(out_m[0])
+    return HostBVH8(boxes[:m].copy(), child[:m].copy(), int(out_d[0]))

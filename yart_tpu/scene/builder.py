@@ -314,7 +314,11 @@ class SceneBuilder:
         shade_pack[:, 28] = bits(tri_light)
 
         # 8-wide BVH for the TPU traversal (binary kept as oracle/fallback).
-        hb8 = collapse_bvh8(hb)
+        from yart_tpu.native import collapse_bvh8_native
+
+        hb8 = collapse_bvh8_native(hb)
+        if hb8 is None:
+            hb8 = collapse_bvh8(hb)
         wide_pack = np.concatenate(
             [
                 hb8.boxes.reshape(-1, 48),
