@@ -20,8 +20,12 @@ from yart_tpu.scene.types import TextureStack
 def sample_stack(stack: TextureStack, idx, uv):
     """Sample textures `idx` ([N] int32) at `uv` ([N, 2]); returns [N, C].
 
-    Lanes with idx < 0 return zeros (callers mask on tex slot >= 0).
+    Lanes with idx < 0 return zeros (callers mask on tex slot >= 0); an
+    empty stack returns zeros for every lane.
     """
+    if stack.data.shape[0] == 0:
+        c = stack.data.shape[-1]
+        return jnp.zeros(idx.shape + (c,), jnp.float32)
     safe_idx = jnp.maximum(idx, 0)
     size = stack.size[safe_idx]  # [N, 2] (w, h)
     w = size[..., 0].astype(jnp.float32)
