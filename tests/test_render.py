@@ -129,3 +129,68 @@ def test_naive_vs_mis_agree(cornell_scene):
     assert abs(img_m.mean() - img_n.mean()) / max(img_m.mean(), 1e-9) < 0.35, (
         img_m.mean(), img_n.mean(),
     )
+
+
+def test_uniform_light_sampler_converges_same(cornell_scene):
+    """UniformLightSampler vs PowerLightSampler (light-sampler.cpp:11-29 vs
+    32-93): both unbiased, same image in expectation."""
+    scene, meta = cornell_scene
+    base = dict(max_depth=4, tonemap="none", estimator="mean",
+                first_wave_samples=64, max_wave_samples=64)
+    img_p = Renderer(scene, meta, cornell_cam(12),
+                     RenderConfig(samples=64, light_sampler="power", **base)
+                     ).render().hdr
+    img_u = Renderer(scene, meta, cornell_cam(12),
+                     RenderConfig(samples=64, light_sampler="uniform", seed=1,
+                                  **base)).render().hdr
+    assert abs(img_p.mean() - img_u.mean()) / max(img_p.mean(), 1e-9) < 0.2
+
+
+def test_abort_hook(cornell_scene):
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=8, max_depth=3, tonemap="none",
+                       estimator="mean", first_wave_samples=4,
+                       max_wave_samples=4)
+    calls = []
+
+    def should_abort():
+        calls.append(1)
+        return len(calls) > 1  # abort before the second wave
+
+    res = Renderer(scene, meta, cornell_cam(12), cfg).render(
+        should_abort=should_abort
+    )
+    assert res.samples_taken == 4  # only the first wave ran
+
+
+def test_env_rotation():
+    """Rotating the env light rotates the lighting (light.cpp:208,228)."""
+    import numpy as np
+    from yart_tpu.scene.builder import SceneBuilder
+    from yart_tpu.scene.procedural import uv_sphere
+
+    def make(rot):
+        b = SceneBuilder()
+        m = b.add_material(roughness=1.0)
+        verts, normals, idx = uv_sphere((0, 0, 0), 1.0, 12, 24)
+        b.add_mesh(verts, idx, m, normals=normals)
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, :8] = 4.0  # bright half
+        b.set_env(img, rotation=rot)
+        return b.compile()
+
+    th = np.pi / 2
+    rot = np.asarray(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    cfg = RenderConfig(samples=16, max_depth=3, tonemap="none",
+                       estimator="mean", first_wave_samples=16,
+                       max_wave_samples=16)
+    cam = CameraConfig(image_size=(16, 16), focal_length=30.0,
+                       position=(0, 0, 3.5), forward=(0, 0, -3.5))
+    a = Renderer(*make(None), cam, cfg).render().hdr
+    b = Renderer(*make(rot), cam, cfg).render().hdr
+    # The lighting moved: images differ but both stay valid renders.
+    assert not np.allclose(a, b, atol=1e-3)
+    assert np.isfinite(b).all() and b.mean() > 0.01

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 
 def parse_args(argv=None):
@@ -69,8 +68,6 @@ def parse_args(argv=None):
 
 
 def build_scene(args):
-    import numpy as np
-
     from yart_tpu.scene import procedural
 
     if args.scene == "cornell":

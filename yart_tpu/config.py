@@ -43,6 +43,7 @@ class RenderConfig:
     integrator: str = "mis"  # "mis" | "naive"
     sampler: str = "zsobol"  # "zsobol" | "hash" | "stratified"
     estimator: str = "gmon"  # "gmon" | "gmonb" | "mon" | "mean"
+    light_sampler: str = "power"  # "power" | "uniform" (light-sampler.cpp)
     estimator_buckets: int = 15
     regularize_threshold: float = 0.5
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)

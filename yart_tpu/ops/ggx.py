@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from yart_tpu.ops import warps
-from yart_tpu.ops.vecmath import dot, absdot, normalize
+from yart_tpu.ops.vecmath import absdot, normalize
 
 PI = jnp.pi
 SMOOTH_ALPHA = 1e-3

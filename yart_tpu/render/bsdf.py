@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from yart_tpu.ops import ggx, lut, warps
 from yart_tpu.ops.gatherless import onehot_matmul
-from yart_tpu.ops.vecmath import absdot, dot, fresnel_dielectric, fresnel_schlick, normalize, refract
+from yart_tpu.ops.vecmath import absdot, dot, fresnel_dielectric, fresnel_schlick, refract
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
 

@@ -30,7 +30,6 @@ from yart_tpu.ops import lut
 from yart_tpu.ops.gatherless import onehot_matmul
 from yart_tpu.ops.vecmath import (
     absdot,
-    dot,
     frame_from_normal_tangent,
     local_to_world,
     max_component,
@@ -227,8 +226,14 @@ def li(
                     jnp.clip(sh.light, 0, meta.n_lights - 1),
                 )
                 pdf_area = 1.0 / jnp.maximum(lrow[:, 0], 1e-20)
-                total = jnp.maximum(scene.light_cdf[-1], 1e-20)
-                sel_p = lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
+                if cfg.light_sampler == "uniform":
+                    n_total = meta.n_lights + (1 if meta.has_env else 0)
+                    sel_p = jnp.full((n,), 1.0 / max(n_total, 1), jnp.float32)
+                else:
+                    total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+                    sel_p = (
+                        lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
+                    )
             else:
                 pdf_area = jnp.zeros((n,), jnp.float32)
                 sel_p = jnp.zeros((n,), jnp.float32)
@@ -258,7 +263,7 @@ def li(
         if mis and (meta.n_lights > 0 or meta.has_env):
             uc_l = sampler.get1d(lane_state, dim0 + 4)
             u_l = sampler.get2d(lane_state, dim0 + 5)
-            ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l)
+            ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l, kind=cfg.light_sampler)
 
             wi_l_local = world_to_local(ls.wi, fx, fy, fz)
             f_l = B.bsdf_f(tables, mat, wo_local, wi_l_local, meta=meta)

@@ -41,13 +41,14 @@ class LightSample(NamedTuple):
 
 
 def env_le(scene: CompiledScene, d):
-    """Env radiance along direction d (light.cpp:196-201)."""
-    return sample_hdr(scene.env_image, octahedral_uv(d))
+    """Env radiance along direction d (light.cpp:196-201); the rotation maps
+    world directions into map space (light.cpp:208)."""
+    return sample_hdr(scene.env_image, octahedral_uv(d @ scene.env_rotation.T))
 
 
 def env_pdf(scene: CompiledScene, d):
     """Solid-angle pdf of env importance sampling (light.cpp:208-214)."""
-    uv = octahedral_uv(d)
+    uv = octahedral_uv(d @ scene.env_rotation.T)
     return pdf_dist2d(scene.env_dist, uv) / FOUR_PI
 
 
@@ -59,27 +60,47 @@ def p_infinite(meta: SceneMeta) -> float:
     return n_inf / (n_inf + 1.0)
 
 
-def select_p_area(scene: CompiledScene, meta: SceneMeta, light_idx):
+def select_p_area(scene: CompiledScene, meta: SceneMeta, light_idx,
+                  kind: str = "power"):
     """Selection probability of area light `light_idx` for MIS
-    (light-sampler.cpp:80-93)."""
+    (light-sampler.cpp:80-93 / 23-29)."""
+    if kind == "uniform":
+        n_total = meta.n_lights + (1 if meta.has_env else 0)
+        return jnp.full(jnp.shape(light_idx), 1.0 / max(n_total, 1), jnp.float32)
     p_inf = p_infinite(meta)
     total = jnp.maximum(scene.light_cdf[-1], 1e-20)
     return scene.light_power[light_idx] / total * (1.0 - p_inf)
 
 
 def sample_light(
-    scene: CompiledScene, meta: SceneMeta, p, uc, u
+    scene: CompiledScene, meta: SceneMeta, p, uc, u, kind: str = "power"
 ) -> LightSample:
-    """PowerLightSampler::sample + Light::sample, batched.
+    """Power/Uniform LightSampler::sample + Light::sample, batched.
 
-    p: [N, 3] shading points; uc: [N] selector; u: [N, 2].
+    p: [N, 3] shading points; uc: [N] selector; u: [N, 2];
+    kind: "power" (light-sampler.cpp:52-78) or "uniform" (:11-21, env
+    occupying the last index).
     """
     n = p.shape[0]
-    p_inf = p_infinite(meta)
-    pick_env = uc < p_inf if meta.has_env else jnp.zeros((n,), bool)
+    if kind == "uniform":
+        n_total = meta.n_lights + (1 if meta.has_env else 0)
+        pick = jnp.clip(
+            (uc * n_total - 0.01).astype(jnp.int32), 0, max(n_total - 1, 0)
+        )
+        pick_env = (
+            (pick == meta.n_lights) if meta.has_env else jnp.zeros((n,), bool)
+        )
+        p_inf = 0.0
+        uniform_sel = jnp.full((n,), 1.0 / max(n_total, 1), jnp.float32)
+    else:
+        p_inf = p_infinite(meta)
+        pick_env = uc < p_inf if meta.has_env else jnp.zeros((n,), bool)
 
     # ---- area light branch (power CDF; light-sampler.cpp:69-78) ----
     if meta.n_lights > 0:
+        if kind == "uniform":
+            li = jnp.clip(pick, 0, meta.n_lights - 1)
+            target = None
         u_area = jnp.where(
             p_inf < 1.0, (uc - p_inf) / max(1.0 - p_inf, 1e-9), 0.0
         )
@@ -87,14 +108,17 @@ def sample_light(
         # findFirst over the power CDF (light-sampler.cpp:71-75) as a
         # broadcast compare-and-sum: batched searchsorted lowers poorly on
         # TPU, and L is small.
-        li = jnp.clip(
-            jnp.sum(
-                (scene.light_cdf[None, 1:] <= target[:, None]).astype(jnp.int32),
-                axis=-1,
-            ),
-            0,
-            meta.n_lights - 1,
-        )
+        if kind != "uniform":
+            li = jnp.clip(
+                jnp.sum(
+                    (scene.light_cdf[None, 1:] <= target[:, None]).astype(
+                        jnp.int32
+                    ),
+                    axis=-1,
+                ),
+                0,
+                meta.n_lights - 1,
+            )
         # One packed one-hot fetch of all per-light data (gather-free).
         lpack = jnp.concatenate(
             [
@@ -115,8 +139,11 @@ def sample_light(
         wi_area = normalize(pos - p)
         pdf_area = 1.0 / jnp.maximum(rows[:, 21], 1e-20)
         li_rgb = rows[:, 18:21]
-        total = jnp.maximum(scene.light_cdf[-1], 1e-20)
-        sel_area = rows[:, 22] / total * (1.0 - p_inf)
+        if kind == "uniform":
+            sel_area = uniform_sel
+        else:
+            total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+            sel_area = rows[:, 22] / total * (1.0 - p_inf)
     else:
         pos = jnp.zeros_like(p)
         nrm = jnp.zeros_like(p)
@@ -128,12 +155,16 @@ def sample_light(
     # ---- env branch (light.cpp:219-238) ----
     if meta.has_env:
         uv, pdf_uv = sample_dist2d(scene.env_dist, u)
-        wi_env = inv_octahedral_uv(uv)
+        # map -> world (the reference applies the forward transform to the
+        # sampled direction, light.cpp:228)
+        wi_env = inv_octahedral_uv(uv) @ scene.env_rotation
         li_env = sample_hdr(scene.env_image, uv)
         pdf_env = pdf_uv / FOUR_PI
         pos_env = wi_env * 2.0 * scene.scene_radius
-        n_inf = 1.0
-        sel_env = jnp.full((n,), p_inf / n_inf, jnp.float32)
+        if kind == "uniform":
+            sel_env = uniform_sel
+        else:
+            sel_env = jnp.full((n,), p_inf / 1.0, jnp.float32)
         env_ok = pdf_uv > 0.0
     else:
         wi_env = jnp.zeros_like(p)

@@ -121,6 +121,7 @@ class Renderer:
         chunk_pixels: Optional[int] = None,
         checkpoint: Optional[str] = None,
         max_waves: Optional[int] = None,
+        should_abort: Optional[Callable[[], bool]] = None,
     ) -> RenderResult:
         """Render progressively; `checkpoint` enables elastic resume: the HDR
         accumulator + samples-taken count fully determine renderer state
@@ -161,6 +162,10 @@ class Renderer:
         if max_waves is not None:
             remaining_plan = remaining_plan[:max_waves]
         for wave_i, k in enumerate(remaining_plan):
+            if should_abort is not None and should_abort():
+                # Wave-granular cancellation (the reference polls an abort
+                # flag per tile, tile-renderer.hpp:182-185).
+                break
             fn = self._wave_fn(k)
             wave_img = jnp.zeros((n_pix, 3), jnp.float32)
             for start in range(0, n_pix, chunk):

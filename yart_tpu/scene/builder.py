@@ -16,7 +16,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from yart_tpu.ops.distribution import Dist2D, build_dist2d
+from yart_tpu.ops.distribution import build_dist2d
 from yart_tpu.scene.bvh import build_bvh, collapse_bvh8
 from yart_tpu.scene.types import (
     CompiledScene,
@@ -97,6 +97,7 @@ class SceneBuilder:
         self._vtx_offset = 0
         self._env_image: Optional[np.ndarray] = None
         self._env_scale = 1.0
+        self._env_rotation = np.eye(3, dtype=np.float32)
         self._background = (0.0, 0.0, 0.0)
         # Texture stacks: storage-encoded [H, W, C] float arrays.
         self.textures_rgba: List[np.ndarray] = []
@@ -181,11 +182,17 @@ class SceneBuilder:
         self._tri_mat.append(mat)
         self._vtx_offset += nv
 
-    def set_env(self, image: np.ndarray, scale: float = 1.0) -> None:
+    def set_env(
+        self, image: np.ndarray, scale: float = 1.0, rotation=None
+    ) -> None:
         """Octahedral-projected HDR environment image [H, W, 3]
-        (the reference stores env maps octahedrally, src/main.cpp:81-84)."""
+        (the reference stores env maps octahedrally, src/main.cpp:81-84).
+        `rotation`: optional [3, 3] world->map matrix (the reference env
+        light's transform, light.cpp:208-214,228)."""
         self._env_image = np.asarray(image, np.float32)
         self._env_scale = float(scale)
+        if rotation is not None:
+            self._env_rotation = np.asarray(rotation, np.float32).reshape(3, 3)
 
     def set_background(self, color) -> None:
         self._background = tuple(color)
@@ -358,6 +365,7 @@ class SceneBuilder:
             env_dist=env_dist,
             env_lavg=jnp.asarray(env_lavg, jnp.float32),
             env_power=jnp.asarray(env_power, jnp.float32),
+            env_rotation=jnp.asarray(self._env_rotation),
             tex_rgba=_stack_from_list(self.textures_rgba, 4),
             tex_rgb=_stack_from_list(self.textures_rgb, 3),
             tex_2ch=_stack_from_list(self.textures_2ch, 2),

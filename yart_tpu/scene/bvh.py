@@ -23,7 +23,7 @@ numpy version is the portable fallback and correctness oracle.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 

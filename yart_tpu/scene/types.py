@@ -25,7 +25,7 @@ donate-able); static python metadata lives in `SceneMeta`.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -124,6 +124,7 @@ class CompiledScene(NamedTuple):
     env_dist: Dist2D
     env_lavg: jnp.ndarray  # [3]
     env_power: jnp.ndarray  # []
+    env_rotation: jnp.ndarray  # [3, 3] world->map rotation (light.cpp:208,228)
 
     # Texture stacks by channel count; empty stacks have n_tex == 0.
     tex_rgba: TextureStack
