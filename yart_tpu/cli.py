@@ -44,8 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--env-hdr", default=None, help="octahedral HDR env map path")
     p.add_argument("--env-scale", type=float, default=1.0)
     p.add_argument("--background", default="0,0,0")
-    p.add_argument("--first-wave", type=int, default=1)
-    p.add_argument("--max-wave", type=int, default=16)
+    p.add_argument("--first-wave", type=int, default=8,
+                   help="first progressive wave sample count (reference "
+                        "default 64; smaller = faster first preview)")
+    p.add_argument("--max-wave", type=int, default=128)
     p.add_argument("--chunk-pixels", type=int, default=None,
                    help="pixels per device dispatch (memory knob)")
     p.add_argument("--checkpoint", default=None,

@@ -47,8 +47,10 @@ class RenderConfig:
     estimator_buckets: int = 15
     regularize_threshold: float = 0.5
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    first_wave_samples: int = 1
-    max_wave_samples: int = 16
+    # Reference defaults (DEFAULT_FIRST_WAVE_SAMPLES/MAX, tile-renderer.hpp:13-14);
+    # GMoN bucketing needs >= ~15 samples per wave to engage.
+    first_wave_samples: int = 64
+    max_wave_samples: int = 128
     tonemap: str = "agx"  # "agx" | "none"
     agx_look: str = "none"  # "none" | "golden" | "punchy"
     rr_start_depth: int = 2  # roulette from depth 2 (mis-integrator.cpp:98)
