@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -405,7 +406,13 @@ class ZSobolSampler:
         self._seed_1d = jnp.asarray((h1 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         self._seed_2d_a = jnp.asarray((h2 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         self._seed_2d_b = jnp.asarray((h2 >> np.uint64(32)).astype(np.uint32))
-        self._perms = jnp.asarray(_perm_table())
+        # Each S4 permutation packed into one byte (2 bits per digit) so the
+        # per-lane permutation lookup is a one-hot contraction instead of a
+        # gather — per-lane gathers from tiny tables dominate TPU wave time
+        # (94% of the profiled render loop before this change).
+        pt = _perm_table().reshape(24, 4).astype(np.uint32)
+        packed = (pt[:, 0] | (pt[:, 1] << 2) | (pt[:, 2] << 4) | (pt[:, 3] << 6))
+        self._perms_packed = jnp.asarray(packed.astype(np.float32))
         self._matrix1 = jnp.asarray(sobol_matrix_dim1())
 
     def init_lanes(self, px, py, sample_idx):
@@ -431,7 +438,15 @@ class ZSobolSampler:
             higher = u64_shr(morton, digit_shift + 2)
             mixed = mix_bits64(U64(higher.hi, higher.lo ^ perm_c))
             p = u64_mod24(u64_shr(mixed, 24))
-            digit = self._perms[p * U32(4) + digit]
+            # gather-free S4 permutation: select the packed byte, unpack 2 bits
+            sel = (
+                p[..., None]
+                == jax.lax.broadcasted_iota(U32, (1, 24), 1)
+            ).astype(jnp.float32)
+            packed = jnp.dot(
+                sel, self._perms_packed, preferred_element_type=jnp.float32
+            ).astype(U32)
+            digit = (packed >> (digit * U32(2))) & U32(3)
             placed = u64_shl(u64_from_u32(digit), digit_shift)
             hi |= placed.hi
             lo |= placed.lo

@@ -48,12 +48,13 @@ def _bucket_means(samples, m: int, reject_negative: bool):
 def _sorted_by_luma(means):
     luma = jnp.sum(means * _LW, axis=-1)  # [N, m]
     order = jnp.argsort(luma, axis=-1)  # [N, m]
-    # Permutation as a one-hot contraction (gather-free; m <= 15).
+    # Permutation via masked sums (gather-free; m <= 15; a batched einsum
+    # would lower to N tiny matmuls).
     m = means.shape[1]
-    perm = (order[..., :, None] == jnp.arange(m)[None, None, :]).astype(
-        means.dtype
-    )  # [N, m_out, m_in]
-    return jnp.einsum("noi,nic->noc", perm, means)
+    sel = order[..., :, None] == jnp.arange(m)[None, None, :]  # [N, mo, mi]
+    return jnp.sum(
+        jnp.where(sel[..., None], means[:, None, :, :], 0.0), axis=2
+    )
 
 
 def _gini(sorted_means):

@@ -131,11 +131,12 @@ def sample_light(
             axis=1,
         )
         rows = onehot_matmul(lpack, li)
-        verts = rows[:, 0:9].reshape(-1, 3, 3)
-        norms = rows[:, 9:18].reshape(-1, 3, 3)
         b = warps.sample_tri_uniform(u)
-        pos = jnp.einsum("nk,nkc->nc", b, verts)
-        nrm = jnp.einsum("nk,nkc->nc", b, norms)
+        b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+        # barycentric interpolation as elementwise ops (a batched einsum
+        # lowers to N tiny matmuls on TPU — pathological)
+        pos = b0 * rows[:, 0:3] + b1 * rows[:, 3:6] + b2 * rows[:, 6:9]
+        nrm = b0 * rows[:, 9:12] + b1 * rows[:, 12:15] + b2 * rows[:, 15:18]
         wi_area = normalize(pos - p)
         pdf_area = 1.0 / jnp.maximum(rows[:, 21], 1e-20)
         li_rgb = rows[:, 18:21]

@@ -131,7 +131,10 @@ class Renderer:
         cfg = self.cfg
         h, w = self.height, self.width
         n_pix = h * w
-        chunk = chunk_pixels or cfg.lane_chunk or n_pix
+        # Default pixel chunk bounds memory AND lets chunks whose lanes all
+        # terminate early (misses, shallow paths) exit their bounce loops
+        # sooner than the global worst lane — the tile analog.
+        chunk = chunk_pixels or cfg.lane_chunk or 131072
         chunk = min(chunk, n_pix)
 
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
