@@ -60,6 +60,26 @@ def test_image_invariant_under_mesh_shape(setup):
         np.testing.assert_allclose(float(rays), float(rays_ref), rtol=1e-6)
 
 
+def test_renderer_product_sharding():
+    """The Renderer's --devices path (not just raw render_wave): a mesh
+    renderer must produce the same image as the single-device one, counters
+    included."""
+    from yart_tpu.render.renderer import Renderer
+
+    scene, meta = cornell_box().compile()
+    cam = CameraConfig(image_size=(16, 16), focal_length=28.0,
+                       position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    cfg = RenderConfig(samples=4, max_depth=4, first_wave_samples=4)
+
+    r1 = Renderer(scene, meta, cam, cfg)
+    r8 = Renderer(scene, meta, cam, cfg, devices=8)
+    assert r8.n_devices == 8
+    a = r1.render()
+    b = r8.render()
+    np.testing.assert_allclose(b.hdr, a.hdr, atol=1e-6)
+    np.testing.assert_allclose(b.total_rays, a.total_rays, rtol=1e-6)
+
+
 def test_graft_entry_dryrun():
     import sys, os
 

@@ -64,8 +64,13 @@ def parse_args(argv=None):
                         "TSan/race checks; the reference silently drops NaN "
                         "samples, estimator.hpp:35)")
     p.add_argument("--quiet", action="store_true")
-    p.add_argument("--devices", type=int, default=None,
-                   help="shard over this many devices (default: all)")
+    p.add_argument("--devices", default=None,
+                   help="shard pixel lanes over a device mesh: an integer "
+                        "count or 'all' (default: single device)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed first (multi-host: run "
+                        "the same command on every host; implies "
+                        "--devices all)")
     return p.parse_args(argv)
 
 
@@ -178,7 +183,17 @@ def main(argv=None) -> int:
             f"env={meta.has_env}); {w}x{h} @ {args.spp}spp"
         )
 
-    r = Renderer(scene, meta, cam, cfg)
+    devices = args.devices
+    if args.distributed:
+        from yart_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
+        devices = "all"
+    elif devices is not None and devices != "all":
+        devices = int(devices)
+    r = Renderer(scene, meta, cam, cfg, devices=devices)
+    if not args.quiet and r.n_devices > 1:
+        print(f"mesh: {r.n_devices} devices")
 
     def on_wave(wd, preview):
         if not args.quiet:

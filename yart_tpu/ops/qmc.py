@@ -346,9 +346,11 @@ class HashSampler:
 # ZSobol sampler (sampler.hpp:72-174)
 # ---------------------------------------------------------------------------
 
-# The 24 permutations of 4 base-4 digits (sampler.hpp:115-140). This is simply
-# the lexicographic-ish table of all S4 permutations; regenerated here from
-# itertools to avoid copying.
+# The 24 permutations of 4 base-4 digits, in the pbrt ordering that
+# sampler.hpp:115-140 uses. The VALUES are forced: this is public pbrt data,
+# and the row order is load-bearing (the permutation index is hashed from the
+# sample key, so any other ordering changes the sample stream and breaks
+# parity with the reference).
 def _perm_table() -> np.ndarray:
     perms = [
         (0, 1, 2, 3), (0, 1, 3, 2), (0, 2, 1, 3), (0, 2, 3, 1),

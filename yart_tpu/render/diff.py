@@ -59,15 +59,18 @@ def material_grads(
     py,
     sample_idx,
     loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    fields=None,
 ):
     """Gradient of loss_fn(mean radiance image) w.r.t. the material table.
 
     Returns (loss, MaterialTable-shaped gradients). Differentiates only the
     float-valued material fields (integer texture slots and bool flags get
-    zero/None treatment by carrying them as non-diff aux).
+    zero/None treatment by carrying them as non-diff aux). `fields` selects
+    a subset (e.g. ["roughness"]) so the backward pass only builds cotangents
+    for the parameters being optimized.
     """
 
-    diff_fields = [
+    diff_fields = fields or [
         "base_color", "metallic", "roughness", "transmission", "ior",
         "anisotropic", "aniso_rotation", "clearcoat", "cc_roughness",
         "emission", "normal_scale", "volume_color", "volume_density",
@@ -121,3 +124,39 @@ def env_grads(
         return loss_fn(radiance)
 
     return jax.value_and_grad(loss)(scene.env_image)
+
+
+def texture_grads(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    cam: CameraParams,
+    sampler,
+    cfg: RenderConfig,
+    px,
+    py,
+    sample_idx,
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    kind: str = "rgba",
+):
+    """Gradient of loss_fn(radiance) w.r.t. one texture atlas's texel data
+    (render/texture.py bilinear fetches are smooth in the texel values;
+    BASELINE config 3). `kind` picks the channel class: rgba (base color +
+    alpha), rgb (normal/emission), 2ch (metallic-roughness), mono
+    (transmission/clearcoat). Returns (loss, d/d(atlas data [H, W, C]));
+    note sRGB-class textures are stored gamma-2 encoded, so these are
+    gradients w.r.t. the STORED encoding (chain through value**2 included).
+    """
+    field = {
+        "rgba": "tex_rgba", "rgb": "tex_rgb", "2ch": "tex_2ch",
+        "mono": "tex_mono",
+    }[kind]
+    stack = getattr(scene, field)
+
+    def loss(data):
+        s = scene._replace(**{field: stack._replace(data=data)})
+        radiance, _ = render_image_diff(
+            s, meta, cam, sampler, cfg, px, py, sample_idx
+        )
+        return loss_fn(radiance)
+
+    return jax.value_and_grad(loss)(stack.data)

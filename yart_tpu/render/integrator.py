@@ -181,9 +181,9 @@ def li(
         miss = st.active & ~hit.mask
         L = st.L
         if meta.has_env:
-            le = lights.env_le(scene, st.d)
+            le = lights.env_le(scene, st.d, meta)
             if mis:
-                pdf_env = lights.env_pdf(scene, st.d)
+                pdf_env = lights.env_pdf(scene, st.d, meta)
                 w_bsdf = jnp.where(
                     (depth == 0) | st.specular,
                     1.0,
@@ -343,7 +343,14 @@ def li(
         def scan_body(st, _):
             return body(st), None
 
-        st, _ = lax.scan(scan_body, st, None, length=cfg.max_depth)
+        # Rematerialize each bounce in the backward pass: without this the
+        # scan stores every in-bounce intermediate (intersections, BSDF
+        # internals) for all depths, which does not fit HBM at image scale.
+        # jax.checkpoint trades that for one extra forward per bounce.
+        st, _ = lax.scan(
+            jax.checkpoint(scan_body, prevent_cse=False),
+            st, None, length=cfg.max_depth,
+        )
     else:
         st = lax.while_loop(cond, body, st)
     return st.L, st.rays

@@ -875,11 +875,13 @@ def intersect(
     alpha_seed=None,
 ):
     """Dispatch: fused Pallas brute kernel for small scenes on TPU, XLA brute
-    for small scenes elsewhere, stack BVH traversal for large scenes."""
+    for small scenes elsewhere, bin-trace (render/bintrace.py) for large
+    scenes, stack BVH traversal for large scenes needing per-hit gates
+    (stochastic alpha, NEE transparency)."""
+    gates = meta.any_alpha or (nee and meta.any_transparent)
     if use_bvh is None:
         use_bvh = meta.n_tris > 4096
     if not use_bvh:
-        gates = meta.any_alpha or (nee and meta.any_transparent)
         if not gates and jax.default_backend() == "tpu":
             return intersect_brute_pallas(
                 scene, meta, o, d, t_max, t_min=t_min
@@ -887,6 +889,12 @@ def intersect(
         return intersect_brute(
             scene, meta, o, d, t_max, t_min=t_min, nee=nee,
             alpha_seed=alpha_seed,
+        )
+    if not gates:
+        from yart_tpu.render.bintrace import intersect_bintrace
+
+        return intersect_bintrace(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee
         )
     if o.shape[0] >= 131072:
         return intersect_bvh_sorted(

@@ -40,14 +40,32 @@ class LightSample(NamedTuple):
     valid: jnp.ndarray  # [N] bool
 
 
-def env_le(scene: CompiledScene, d):
+def _in_bounds(scene: CompiledScene, uv):
+    b = scene.env_bounds
+    return (
+        (uv[..., 0] >= b[0]) & (uv[..., 0] < b[2])
+        & (uv[..., 1] >= b[1]) & (uv[..., 1] < b[3])
+    )
+
+
+def env_le(scene: CompiledScene, d, meta: SceneMeta = None):
     """Env radiance along direction d (light.cpp:196-201); the rotation maps
-    world directions into map space (light.cpp:208)."""
-    return sample_hdr(scene.env_image, octahedral_uv(d @ scene.env_rotation.T))
+    world directions into map space (light.cpp:208). With portal bounds,
+    radiance outside the crop is zero (light.cpp:201-205)."""
+    uv = octahedral_uv(d @ scene.env_rotation.T)
+    le = sample_hdr(scene.env_image, uv)
+    if meta is not None and meta.env_portal:
+        le = jnp.where(_in_bounds(scene, uv)[..., None], le, 0.0)
+    return le
 
 
-def env_pdf(scene: CompiledScene, d):
-    """Solid-angle pdf of env importance sampling (light.cpp:208-214)."""
+def env_pdf(scene: CompiledScene, d, meta: SceneMeta = None):
+    """Solid-angle pdf of env importance sampling (light.cpp:208-214). A
+    UniformInfiniteLight has pdf 0 — sampling is disabled (light.cpp:105-110).
+    Outside portal bounds the distribution weight is zero, so the pdf already
+    vanishes there."""
+    if meta is not None and not meta.env_sampleable:
+        return jnp.zeros(d.shape[:-1], jnp.float32)
     uv = octahedral_uv(d @ scene.env_rotation.T)
     return pdf_dist2d(scene.env_dist, uv) / FOUR_PI
 
@@ -166,7 +184,10 @@ def sample_light(
             sel_env = uniform_sel
         else:
             sel_env = jnp.full((n,), p_inf / 1.0, jnp.float32)
-        env_ok = pdf_uv > 0.0
+        # UniformInfiniteLight: sample() is disabled (light.cpp:112-133) but
+        # the light still occupies the reserved pInf slot, so those draws
+        # yield no NEE contribution — same estimator as the reference.
+        env_ok = (pdf_uv > 0.0) & meta.env_sampleable
     else:
         wi_env = jnp.zeros_like(p)
         li_env = jnp.zeros_like(p)

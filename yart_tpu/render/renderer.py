@@ -71,7 +71,16 @@ def wave_plan(total: int, first: int, max_wave: int):
 
 
 class Renderer:
-    """Single-host progressive renderer over one (or a mesh of) device(s)."""
+    """Progressive renderer over one device or a device mesh.
+
+    `devices`: None/0/1 = single default device; N = 1D mesh over the first
+    N local devices; "all" = every device (all hosts' devices under
+    jax.distributed). Pixel lanes shard over the mesh, the scene replicates,
+    and the ray counter psums — the TPU analog of the reference's tile queue
+    over hardware_concurrency() threads (src/cpu/tile-renderer.hpp:37,
+    150-197). Sampling is a pure function of (pixel, sample, dim), so the
+    image is bit-identical for every mesh shape (tests/test_sharding.py).
+    """
 
     def __init__(
         self,
@@ -79,6 +88,7 @@ class Renderer:
         meta: SceneMeta,
         cam_cfg: CameraConfig,
         cfg: RenderConfig = RenderConfig(),
+        devices=None,
     ):
         self.scene = scene
         self.meta = meta
@@ -88,6 +98,22 @@ class Renderer:
         res = max(self.width, self.height)
         self.sampler = make_sampler(cfg.sampler, cfg.samples, (res, res), cfg.seed)
         self._wave_fns = {}
+
+        self.mesh = None
+        if devices == "all":
+            n_dev = len(jax.devices())
+        else:
+            n_dev = int(devices or 0)
+        if n_dev > 1:
+            from yart_tpu.parallel.sharding import (
+                device_put_replicated,
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(None if devices == "all" else n_dev)
+            # Replicate the scene once up front (not per wave call).
+            self.scene = device_put_replicated(self.mesh, self.scene)
+        self.n_devices = self.mesh.devices.size if self.mesh is not None else 1
 
     def _wave_fn(self, k: int):
         """Jitted wave chunk: [P] pixels x k samples -> estimator-reduced
@@ -112,7 +138,22 @@ class Renderer:
                 est = estimate(samples, cfg.estimator, cfg.estimator_buckets)
                 return est, rays
 
-            self._wave_fns[k] = jax.jit(fn)
+            if self.mesh is None:
+                self._wave_fns[k] = jax.jit(fn)
+            else:
+                from yart_tpu.parallel.sharding import replicate, shard_lanes
+
+                lanes = shard_lanes(self.mesh)
+                rep = replicate(self.mesh)
+                # Pixel chunks shard across the mesh; the estimator image
+                # comes back sharded and the ray counter is a psum XLA
+                # inserts for the replicated scalar output.
+                self._wave_fns[k] = jax.jit(
+                    fn,
+                    in_shardings=(rep, lanes, lanes, None),
+                    out_shardings=(rep, rep),
+                )
+            return self._wave_fns[k]
         return self._wave_fns[k]
 
     def render(
@@ -136,6 +177,8 @@ class Renderer:
         # sooner than the global worst lane — the tile analog.
         chunk = chunk_pixels or cfg.lane_chunk or 131072
         chunk = min(chunk, n_pix)
+        # Chunks must split evenly over the mesh.
+        chunk = -(-chunk // self.n_devices) * self.n_devices
 
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         px_all = jnp.asarray(xx.reshape(-1), jnp.int32)
@@ -170,7 +213,11 @@ class Renderer:
                 # flag per tile, tile-renderer.hpp:182-185).
                 break
             fn = self._wave_fn(k)
-            wave_img = jnp.zeros((n_pix, 3), jnp.float32)
+            # Host-side wave accumulator: wave results come back replicated
+            # over the mesh (XLA all_gathers — the only display-path
+            # collective, SURVEY.md §2.6), so numpy assembly works on every
+            # host under jax.distributed.
+            wave_img = np.zeros((n_pix, 3), np.float32)
             for start in range(0, n_pix, chunk):
                 end = min(start + chunk, n_pix)
                 if end - start < chunk:  # pad to static shape
@@ -180,8 +227,9 @@ class Renderer:
                 est, rays = fn(
                     self.scene, px_all[sl], py_all[sl], jnp.uint32(samples_taken)
                 )
-                wave_img = wave_img.at[sl[: end - start]].set(est[: end - start])
+                wave_img[start:end] = np.asarray(est)[: end - start]
                 total_rays += float(rays)
+            wave_img = jnp.asarray(wave_img)
 
             # Weighted running merge (tile-renderer.hpp:220-232).
             w_cur = samples_taken / (samples_taken + k)

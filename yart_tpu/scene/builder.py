@@ -44,6 +44,9 @@ class MaterialDesc:
     cc_roughness: float = 0.0
     emission: tuple = (0.0, 0.0, 0.0)
     emission_strength: float = 1.0
+    # Two-sided area-light emission (light.hpp:78; doubles power,
+    # light.cpp:36-38 — the reference's flag affects only power).
+    two_sided: bool = False
     normal_scale: float = 1.0
     thin: bool = True  # thinTransmission: gltf loader hardcodes true (gltf.cpp:104-105)
     volume_color: tuple = (1.0, 1.0, 1.0)
@@ -65,24 +68,43 @@ class MaterialDesc:
 
 def _empty_stack(channels: int) -> TextureStack:
     return TextureStack(
-        data=jnp.zeros((0, 1, 1, channels), jnp.float32),
-        size=jnp.zeros((0, 2), jnp.int32),
+        data=jnp.zeros((1, 1, channels), jnp.float32),
+        table=jnp.zeros((0, 4), jnp.int32),
     )
 
 
 def _stack_from_list(textures: List[np.ndarray], channels: int) -> TextureStack:
-    """Pad a list of [H, W, C] arrays to a common size (edge-repeat semantics
-    live in the sampler via true-size wrapping, not the padding)."""
+    """Shelf-pack [H, W, C] arrays into one atlas (see TextureStack). Repeat
+    wrap happens in the sampler via per-texture true sizes; the bilinear
+    fetch clamps inside each rect, so no border duplication is needed."""
     if not textures:
         return _empty_stack(channels)
-    h = max(t.shape[0] for t in textures)
-    w = max(t.shape[1] for t in textures)
-    data = np.zeros((len(textures), h, w, channels), np.float32)
-    size = np.zeros((len(textures), 2), np.int32)
+    max_w = max(t.shape[1] for t in textures)
+    atlas_w = 1
+    while atlas_w < max_w:
+        atlas_w *= 2
+    atlas_w = max(atlas_w, 64)
+
+    # Place tallest-first on left-to-right shelves.
+    order = sorted(range(len(textures)), key=lambda i: -textures[i].shape[0])
+    table = np.zeros((len(textures), 4), np.int32)
+    x = y = shelf_h = 0
+    for i in order:
+        th, tw = textures[i].shape[:2]
+        if x + tw > atlas_w:
+            y += shelf_h
+            x = 0
+            shelf_h = 0
+        table[i] = (x, y, tw, th)
+        x += tw
+        shelf_h = max(shelf_h, th)
+    atlas_h = y + shelf_h
+
+    data = np.zeros((atlas_h, atlas_w, channels), np.float32)
     for i, t in enumerate(textures):
-        data[i, : t.shape[0], : t.shape[1]] = t
-        size[i] = (t.shape[1], t.shape[0])  # (w, h)
-    return TextureStack(jnp.asarray(data), jnp.asarray(size))
+        x0, y0, tw, th = table[i]
+        data[y0 : y0 + th, x0 : x0 + tw] = t.reshape(th, tw, channels)
+    return TextureStack(jnp.asarray(data), jnp.asarray(table))
 
 
 class SceneBuilder:
@@ -98,6 +120,8 @@ class SceneBuilder:
         self._env_image: Optional[np.ndarray] = None
         self._env_scale = 1.0
         self._env_rotation = np.eye(3, dtype=np.float32)
+        self._env_bounds = (0.0, 0.0, 1.0, 1.0)
+        self._env_sampleable = True
         self._background = (0.0, 0.0, 0.0)
         # Texture stacks: storage-encoded [H, W, C] float arrays.
         self.textures_rgba: List[np.ndarray] = []
@@ -183,23 +207,45 @@ class SceneBuilder:
         self._vtx_offset += nv
 
     def set_env(
-        self, image: np.ndarray, scale: float = 1.0, rotation=None
+        self, image: np.ndarray, scale: float = 1.0, rotation=None,
+        bounds=None,
     ) -> None:
         """Octahedral-projected HDR environment image [H, W, 3]
         (the reference stores env maps octahedrally, src/main.cpp:81-84).
         `rotation`: optional [3, 3] world->map matrix (the reference env
-        light's transform, light.cpp:208-214,228)."""
+        light's transform, light.cpp:208-214,228).
+        `bounds`: optional portal crop (u0, v0, u1, v1) in map UV space
+        (light.cpp:147-155): radiance and importance sampling are restricted
+        to the rect. The reference's crop half-mixes equirect surface-area
+        normalization into the octahedral pdf (its own TODO at
+        light.cpp:147-148); here the pdf stays the correct octahedral
+        measure (uv area 1 == 4pi sr) with out-of-rect weights zeroed."""
         self._env_image = np.asarray(image, np.float32)
         self._env_scale = float(scale)
+        self._env_sampleable = True
         if rotation is not None:
             self._env_rotation = np.asarray(rotation, np.float32).reshape(3, 3)
+        if bounds is not None:
+            self._env_bounds = tuple(float(b) for b in bounds)
+
+    def set_env_uniform(self, color) -> None:
+        """UniformInfiniteLight (light.cpp:83-135): constant radiance that
+        contributes ONLY on ray miss — its pdf is 0 and NEE never samples it
+        (the reference disables sample(), light.cpp:105-133), though it still
+        occupies the light sampler's reserved infinite-light probability."""
+        self._env_image = np.broadcast_to(
+            np.asarray(color, np.float32), (1, 1, 3)
+        ).copy()
+        self._env_scale = 1.0
+        self._env_sampleable = False
+        self._env_bounds = (0.0, 0.0, 1.0, 1.0)
 
     def set_background(self, color) -> None:
         self._background = tuple(color)
 
     # -- compile -----------------------------------------------------------
 
-    def compile(self, max_leaf: int = 4, n_bins: int = 20):
+    def compile(self, max_leaf: int = 4, n_bins: int = 20, cluster_size: int = 128):
         assert self._tris, "scene has no geometry"
         positions = np.concatenate(self._positions)
         normals = np.concatenate(self._normals)
@@ -245,7 +291,14 @@ class SceneBuilder:
         e1 = v1[light_tri] - v0[light_tri]
         e2 = v2[light_tri] - v0[light_tri]
         l_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).astype(np.float32)
-        two_sided = np.zeros(light_tri.size, bool)  # reference default (light.hpp:78)
+        ts_table = np.asarray(
+            [m.two_sided for m in self._materials] or [False], bool
+        )
+        two_sided = (
+            ts_table[tri_mat[light_tri]]
+            if light_tri.size
+            else np.zeros(0, bool)
+        )
         # power = |Le| * A * pi * (2 if twoSided) (light.cpp:36-38)
         l_power = (
             np.linalg.norm(l_emission, axis=-1)
@@ -283,6 +336,17 @@ class SceneBuilder:
             # light.cpp:157-168 is an acknowledged leftover from equirect —
             # "TODO: do we need the sine term?"; we weight by mean RGB only).
             weight = env_img.mean(axis=-1)
+            # Portal crop (light.cpp:147-155): zero sampling weight outside
+            # the bounds rect (pixel-center test).
+            u0, vv0, u1, vv1 = self._env_bounds
+            if (u0, vv0, u1, vv1) != (0.0, 0.0, 1.0, 1.0):
+                uc = (np.arange(w) + 0.5) / w
+                vc = (np.arange(h) + 0.5) / h
+                inside = (
+                    ((uc >= u0) & (uc < u1))[None, :]
+                    & ((vc >= vv0) & (vc < vv1))[:, None]
+                )
+                weight = np.where(inside, weight, 0.0)
             env_dist = build_dist2d(weight)
             env_lavg = env_img.reshape(-1, 3).mean(axis=0)
             env_power = 4.0 * _PI * _PI * radius * radius * float(env_lavg.mean())
@@ -326,6 +390,16 @@ class SceneBuilder:
         hb8 = collapse_bvh8_native(hb)
         if hb8 is None:
             hb8 = collapse_bvh8(hb)
+
+        # Bin-trace pipeline tables (scene/clusters.py): triangle clusters +
+        # coarse BVH8 + matmul-MT rows.
+        from yart_tpu.scene.clusters import build_coarse, cut_clusters, woop_rows
+
+        c_size = int(cluster_size)
+        cut = cut_clusters(hb, c_size)
+        coarse = build_coarse(cut)
+        cut = coarse.cut
+        clus_pack = woop_rows(v0, v1, v2, cut, c_size)
         wide_pack = np.concatenate(
             [
                 hb8.boxes.reshape(-1, 48),
@@ -362,6 +436,7 @@ class SceneBuilder:
             light_verts=jnp.asarray(l_verts),
             light_norms=jnp.asarray(l_norms),
             env_image=jnp.asarray(env_img),
+            env_bounds=jnp.asarray(self._env_bounds, jnp.float32),
             env_dist=env_dist,
             env_lavg=jnp.asarray(env_lavg, jnp.float32),
             env_power=jnp.asarray(env_power, jnp.float32),
@@ -373,12 +448,17 @@ class SceneBuilder:
             scene_center=jnp.asarray(center, jnp.float32),
             scene_radius=jnp.asarray(radius, jnp.float32),
             background=jnp.asarray(self._background, jnp.float32),
+            clus_pack=jnp.asarray(clus_pack),
+            clus_first=jnp.asarray(cut.first),
+            coarse_pack=jnp.asarray(coarse.wide_pack),
         )
         meta = SceneMeta(
             n_tris=int(tri_v.shape[0]),
             n_materials=len(self._materials),
             n_lights=int(light_tri.size),
             has_env=has_env,
+            env_sampleable=self._env_sampleable,
+            env_portal=self._env_bounds != (0.0, 0.0, 1.0, 1.0),
             max_leaf=max_leaf,
             bvh_depth=hb.depth,
             wide_depth=hb8.depth,
@@ -401,6 +481,10 @@ class SceneBuilder:
             any_anisotropy=any(
                 m.anisotropic != 0.0 for m in self._materials
             ),
+            n_clusters=int(cut.first.shape[0]),
+            cluster_size=c_size,
+            coarse_depth=coarse.depth,
+            coarse_max_leaf=coarse.max_leaf,
             any_textures=any(
                 m.tex_base >= 0
                 or m.tex_mr >= 0

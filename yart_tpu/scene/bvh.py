@@ -45,11 +45,25 @@ def build_bvh(
     n_bins: int = 20,
 ) -> HostBVH:
     """Build from triangle vertex positions [T, 3] each."""
-    t = v0.shape[0]
-    assert t > 0, "empty scene"
     tri_lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     cent = ((v0 + v1 + v2) / 3.0).astype(np.float32)
+    return build_bvh_boxes(tri_lo, tri_hi, cent, max_leaf, n_bins)
+
+
+def build_bvh_boxes(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    cent: np.ndarray = None,
+    max_leaf: int = 4,
+    n_bins: int = 20,
+) -> HostBVH:
+    """Build over arbitrary primitive AABBs [T, 3] (used both for triangles
+    and for the coarse cluster-level BVH of the bin-trace pipeline)."""
+    t = tri_lo.shape[0]
+    assert t > 0, "empty scene"
+    if cent is None:
+        cent = ((tri_lo + tri_hi) * 0.5).astype(np.float32)
 
     order = np.arange(t, dtype=np.int32)
 

@@ -61,17 +61,21 @@ class MaterialTable(NamedTuple):
 
 
 class TextureStack(NamedTuple):
-    """Fixed-size stack of equally-padded textures for one channel count.
+    """Texture atlas for one channel count — the TPU analog of the
+    reference's typed texture pools (src/core/scene.hpp:120-169).
 
-    Textures are resampled/padded host-side to a common [H, W] so a traced
-    texture index selects a slice — the TPU analog of the reference's typed
-    texture pools (src/core/scene.hpp:120-169). Data is stored in the
-    reference's storage encoding (gamma-2 for sRGB color, linear otherwise,
-    texture.hpp:80-84).
+    All textures of a channel class are shelf-packed into ONE [H, W, C]
+    image (a padded per-texture stack would allocate every texture at the
+    max H x W — fifty 256^2 maps plus one 4k map would cost fifty-one 4k
+    slabs). No border texels are needed: the reference's bilinear fetch
+    scales by (size - 1) and clamps the base texel to size - 2
+    (src/core/texture.cpp:21-35), so a lookup never reads outside its own
+    rect. Data is stored in the reference's storage encoding (gamma-2 for
+    sRGB color, linear otherwise, texture.hpp:80-84).
     """
 
-    data: jnp.ndarray  # [n_tex, H, W, C] float32 storage-encoded
-    size: jnp.ndarray  # [n_tex, 2] int32 true (w, h) before padding
+    data: jnp.ndarray  # [H, W, C] float32 storage-encoded atlas
+    table: jnp.ndarray  # [n_tex, 4] int32 (x0, y0, w, h) rects
 
 
 class FlatBVH(NamedTuple):
@@ -121,6 +125,7 @@ class CompiledScene(NamedTuple):
 
     # Environment light (octahedral; src/core/light.cpp:137-242)
     env_image: jnp.ndarray  # [H, W, 3] linear HDR (1x1 zeros if absent)
+    env_bounds: jnp.ndarray  # [4] portal crop (u0, v0, u1, v1); full = 0,0,1,1
     env_dist: Dist2D
     env_lavg: jnp.ndarray  # [3]
     env_power: jnp.ndarray  # []
@@ -136,6 +141,11 @@ class CompiledScene(NamedTuple):
     scene_radius: jnp.ndarray  # []
     background: jnp.ndarray  # [3] (src/core/renderer.hpp:52)
 
+    # Bin-trace pipeline (scene/clusters.py, render/bintrace.py):
+    clus_pack: jnp.ndarray  # [n_clus, 8, 3C] matmul-MT triangle rows
+    clus_first: jnp.ndarray  # [n_clus] i32 first triangle of each cluster
+    coarse_pack: jnp.ndarray  # [Gc, 56] coarse BVH8 over cluster AABBs
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -148,6 +158,10 @@ class SceneMeta:
     max_leaf: int
     bvh_depth: int  # max traversal stack depth needed
     wide_depth: int = 8  # 8-ary tree depth (stack bound = 7 * wide_depth)
+    # UniformInfiniteLight semantics (light.cpp:83-135): when False the env
+    # contributes only on miss — pdf 0, never NEE-sampled.
+    env_sampleable: bool = True
+    env_portal: bool = False  # portal bounds crop active (light.cpp:147-155)
     any_alpha: bool = False  # any material has alpha-tested transparency
     any_textures: bool = False
     any_transparent: bool = False  # any thin-transmissive (NEE-transparent) material
@@ -156,3 +170,9 @@ class SceneMeta:
     any_transmissive: bool = True
     any_clearcoat: bool = True
     any_anisotropy: bool = True
+    # Bin-trace pipeline facts (scene/clusters.py):
+    n_clusters: int = 1
+    cluster_size: int = 128  # C: triangle capacity per cluster
+    coarse_depth: int = 1  # coarse wide-tree depth (stack bound = 7 * depth)
+    coarse_max_leaf: int = 2  # max clusters per coarse leaf
+    bintrace_k: int = 12  # K: cluster slots per ray per round
