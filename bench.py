@@ -1,11 +1,21 @@
-"""Benchmark: Mrays/s of the MIS wavefront integrator on real hardware.
+"""Benchmark on real hardware. Prints ONE JSON line:
+    {"metric", "value", "unit", "vs_baseline"}
+and writes every sub-metric to BENCH_DETAIL.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric: incoherent closest-hit Mrays/s on the 132k-triangle scene —
+the reference's hot contract (src/cpu/ray-integrator.cpp:84-160) at the
+scene scale its flagship configs use (Sponza-class; BASELINE.md). Round 1
+measured 0.51 Mrays/s on the lockstep BVH8 path; round 2 replaces it with
+the bin-trace pipeline (render/bintrace.py).
 
-The reference publishes no numbers (BASELINE.md) — its runtime perf print is
-Mrays/s (src/frontend/metal-sdl2/main.cpp:223-255), so that is the metric.
-``vs_baseline`` compares against BASELINE_LOCAL.json if a previous run
-recorded one (self-relative trend), else 0.0.
+Sub-metrics (BENCH_DETAIL.json):
+- bigscene_closest_hit / bigscene_coherent: Mrays/s, 132k tris, 262k rays
+- cornell_mis: full MIS wavefront Mrays/s (round-1 primary, for trend)
+- cornell_fwdbwd: rays/s through value_and_grad of the differentiable
+  renderer (the project metric is fwd+bwd rays/s, BASELINE.json)
+
+vs_baseline compares each metric against BASELINE_LOCAL.json (previous
+runs; the reference itself publishes no numbers, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -17,18 +27,44 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
-BASELINE_LOCAL = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json"
-)
+BASELINE_LOCAL = os.path.join(ROOT, "BASELINE_LOCAL.json")
+DETAIL = os.path.join(ROOT, "BENCH_DETAIL.json")
+# Round-1 measurements (BASELINE.md) seed the trend baseline.
+R1_SEED = {"bigscene_closest_hit": 0.51, "cornell_mis": 13.44}
 
 
-def main():
+def bench_bigscene(results):
+    import jax
+    import jax.numpy as jnp
+
+    from perf_trace import build_scene, make_rays
+    from yart_tpu.render.bintrace import intersect_bintrace
+
+    scene, meta = build_scene(60, 128)
+    lanes = 262144
+    fn = jax.jit(
+        lambda s, o, d: intersect_bintrace(s, meta, o, d, 100.0, k=12)
+    )
+    for name, coherent in (("bigscene_closest_hit", False),
+                           ("bigscene_coherent", True)):
+        o_np, d_np = make_rays(lanes, coherent)
+        o, d = jnp.asarray(o_np), jnp.asarray(d_np)
+        hit = fn(scene, o, d)
+        hit.t.block_until_ready()
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            hit = fn(scene, o, d)
+            hit.t.block_until_ready()
+        results[name] = lanes * reps / (time.time() - t0) / 1e6
+
+
+def bench_cornell(results):
     import jax
     import jax.numpy as jnp
 
@@ -57,42 +93,97 @@ def main():
     sidx = jnp.asarray(np.tile(np.arange(spp), h * w), jnp.uint32)
 
     fn = jax.jit(
-        lambda px, py, sidx: render_wave(scene, meta, cam, sampler, cfg, px, py, sidx)
+        lambda scene, px, py, sidx: render_wave(
+            scene, meta, cam, sampler, cfg, px, py, sidx
+        )
     )
-    # Warmup/compile
-    radiance, rays = fn(px, py, sidx)
+    radiance, rays = fn(scene, px, py, sidx)
     radiance.block_until_ready()
-
     t0 = time.time()
     reps = 3
-    total_rays = 0.0
+    total = 0.0
     for _ in range(reps):
-        radiance, rays = fn(px, py, sidx)
+        radiance, rays = fn(scene, px, py, sidx)
         radiance.block_until_ready()
-        total_rays += float(rays)
-    dt = time.time() - t0
+        total += float(rays)
+    results["cornell_mis"] = total / (time.time() - t0) / 1e6
 
-    mrays = total_rays / dt / 1e6
+    # ---- forward+backward: grad of mean image w.r.t. the material table ----
+    import jax.tree_util as jtu
 
-    prev = 0.0
+    cfg_d = RenderConfig(samples=spp, max_depth=6, rr_start_depth=99)
+
+    def loss(base_color, scene, px, py, sidx):
+        s = scene._replace(
+            materials=scene.materials._replace(base_color=base_color)
+        )
+        radiance, rays = render_wave(
+            s, meta, cam, sampler, cfg_d, px, py, sidx, differentiable=True
+        )
+        return jnp.mean(radiance), rays
+
+    gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidx)
+    jtu.tree_map(lambda a: a.block_until_ready(), g)
+    t0 = time.time()
+    total = 0.0
+    for _ in range(reps):
+        (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidx)
+        jtu.tree_map(lambda a: a.block_until_ready(), g)
+        total += float(rays)
+    results["cornell_fwdbwd"] = total / (time.time() - t0) / 1e6
+
+
+def main():
+    results = {}
+    errors = {}
+    for name, fn in (("bigscene", bench_bigscene), ("cornell", bench_cornell)):
+        try:
+            fn(results)
+        except Exception as e:  # keep the bench robust: report what ran
+            errors[name] = f"{type(e).__name__}: {e}"
+
+    prev = {}
     if os.path.exists(BASELINE_LOCAL):
         try:
-            prev = json.load(open(BASELINE_LOCAL)).get("mrays_per_s", 0.0)
+            prev = json.load(open(BASELINE_LOCAL))
+            if "mrays_per_s" in prev:  # round-1 format
+                prev = {"cornell_mis": prev["mrays_per_s"]}
         except Exception:
-            prev = 0.0
-    vs = mrays / prev if prev > 0 else 0.0
-    try:
-        json.dump({"mrays_per_s": mrays}, open(BASELINE_LOCAL, "w"))
-    except Exception:
-        pass
+            prev = {}
+    for k, v in R1_SEED.items():
+        prev.setdefault(k, v)
 
+    detail = {
+        "metrics": {k: round(v, 3) for k, v in results.items()},
+        "vs_baseline": {
+            k: round(v / prev[k], 3) for k, v in results.items() if prev.get(k)
+        },
+        "errors": errors,
+    }
+    json.dump(detail, open(DETAIL, "w"), indent=1)
+    json.dump(
+        {**prev, **{k: v for k, v in results.items()}},
+        open(BASELINE_LOCAL, "w"),
+        indent=1,
+    )
+
+    primary = "bigscene_closest_hit"
+    if primary not in results:
+        primary = "cornell_mis" if "cornell_mis" in results else None
+    if primary is None:
+        print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                          "unit": "Mrays/s", "vs_baseline": 0.0,
+                          "errors": errors}))
+        return
+    v = results[primary]
     print(
         json.dumps(
             {
-                "metric": "cornell_mis_rays",
-                "value": round(mrays, 3),
+                "metric": primary,
+                "value": round(v, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": round(v / prev[primary], 3) if prev.get(primary) else 0.0,
             }
         )
     )

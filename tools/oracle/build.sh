@@ -11,6 +11,10 @@ cd "$OUT/src"
 sed -i 's/^constexpr \(double\|float\|size_t\) /inline const \1 /' math/math_base.hpp core/sobol-matrices.hpp core/color-utils.hpp
 grep -rl constexpr . | xargs sed -i 's/static constexpr/static inline const/g; s/virtual constexpr/virtual/g; s/constexpr explicit/explicit/g; s/\bconstexpr\b//g'
 sed -i 's/const const/const/g' core/tonemapping.hpp
+# Mean estimator for parity goldens: GMoN is nonlinear (order statistics), so
+# per-pixel comparison against an independently-sampled render needs the
+# plain mean both sides (integrator.cpp:17 hardcodes GMoN(15)).
+sed -i 's/GMoNEstimator estimator(int32_t(samples), 15);/MeanEstimator estimator(samples);/' cpu/integrator.cpp
 sed -i 's/\bbounds<T, N>(/bounds(/g' math/bounds.hpp
 sed -i 's/if (isnan(vec\[i\])) return true;/if (std::isnan(vec[i])) return true;/; s/if (isinf(vec\[i\])) return true;/if (std::isinf(vec[i])) return true;/' math/vec.hpp
 cat > "$OUT/prelude.hpp" <<'PRELUDE'

@@ -27,7 +27,23 @@ static void addQuad(std::vector<math::float3>& verts,
   faces.push_back({k, k + 2, k + 3, mat});
 }
 
-static int cornellMain(bool useMis, uint32_t spp) {
+// Dump the full HDR buffer as text: "W H" then W*H lines of "r g b"
+// (row-major, y then x) — consumed by tools/oracle/make_goldens.py.
+static void dumpBuffer(const Buffer& buffer, const std::string& path,
+                       uint32_t w, uint32_t h) {
+  FILE* f = fopen(path.c_str(), "w");
+  if (!f) return;
+  fprintf(f, "%u %u\n", w, h);
+  for (uint32_t y = 0; y < h; y++)
+    for (uint32_t x = 0; x < w; x++) {
+      auto px = buffer(x, y);
+      fprintf(f, "%.9g %.9g %.9g\n", px.x(), px.y(), px.z());
+    }
+  fclose(f);
+}
+
+static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
+                       const std::string& dump) {
   using namespace math;
   std::vector<float3> verts;
   std::vector<VertexData> vdata;
@@ -69,42 +85,52 @@ static int cornellMain(bool useMis, uint32_t spp) {
   }
   scene.root().appendChild(std::move(meshNode));
 
-  Buffer buffer(16, 16);
-  Camera camera(uint2(16, 16), 28.0f, 0.0f, float2(36, 24),
+  Buffer buffer(res, res);
+  Camera camera(uint2(res, res), 28.0f, 0.0f, float2(36, 24),
                 float3(0, 1.0f, 3.4f), float3(0, 0, -1.0f));
-  SobolSampler<FastOwenScrambler> sampler(spp, uint2(16, 16));
+  SobolSampler<FastOwenScrambler> sampler(spp, uint2(res, res));
   std::unique_ptr<cpu::Integrator> integ;
   if (useMis) integ = std::make_unique<cpu::MISIntegrator>(buffer, camera, sampler);
   else integ = std::make_unique<cpu::NaiveIntegrator>(buffer, camera, sampler);
   integ->scene = &scene;
   integ->samples = spp;
-  integ->samplingBounds = ubounds2({0, 0}, {16, 16});
+  integ->samplingBounds = ubounds2({0, 0}, {res, res});
   integ->samplingOffset = uint2(0, 0);
   integ->render();
 
+  if (!dump.empty()) dumpBuffer(buffer, dump, res, res);
+
   // Print quadrant means for regional comparison.
   const char* names[4] = {"TL", "TR", "BL", "BR"};
-  int qx[4] = {0, 8, 0, 8}, qy[4] = {0, 0, 8, 8};
+  uint32_t hr = res / 2;
+  uint32_t qx[4] = {0, hr, 0, hr}, qy[4] = {0, 0, hr, hr};
   for (int q = 0; q < 4; q++) {
     double r = 0, g = 0, bl = 0;
-    for (int y = qy[q]; y < qy[q] + 8; y++)
-      for (int x = qx[q]; x < qx[q] + 8; x++) {
+    for (uint32_t y = qy[q]; y < qy[q] + hr; y++)
+      for (uint32_t x = qx[q]; x < qx[q] + hr; x++) {
         auto px = buffer(x, y);
         r += px.x(); g += px.y(); bl += px.z();
       }
+    double n = double(hr) * hr;
     std::cout << "cornell " << (useMis ? "mis" : "naive") << " " << names[q]
-              << " " << r / 64 << " " << g / 64 << " " << bl / 64 << std::endl;
+              << " " << r / n << " " << g / n << " " << bl / n << std::endl;
   }
   return 0;
 }
 
 int main(int argc, char** argv) {
+  // argv: [mis|naive] [spp] [roughness] [metallic] [cornell|furnace]
+  //       [dump_path] [res]
   bool useMis = argc > 1 && std::string(argv[1]) == "mis";
   uint32_t spp = argc > 2 ? atoi(argv[2]) : 64;
   float roughness = argc > 3 ? atof(argv[3]) : 1.0f;
   float metallic = argc > 4 ? atof(argv[4]) : 0.0f;
-  if (argc > 5 && std::string(argv[5]) == "cornell") return cornellMain(useMis, spp);
+  std::string dump = argc > 6 ? argv[6] : "";
+  uint32_t res = argc > 7 ? atoi(argv[7]) : 16;
+  if (argc > 5 && std::string(argv[5]) == "cornell")
+    return cornellMain(useMis, spp, res, dump);
 
+  (void)res;
   uint32_t nt = 32, np = 64;
   std::vector<math::float3> verts;
   std::vector<VertexData> vdata;
@@ -155,6 +181,8 @@ int main(int argc, char** argv) {
   integ->samplingBounds = math::ubounds2({0, 0}, {16, 16});
   integ->samplingOffset = math::uint2(0, 0);
   integ->render();
+
+  if (!dump.empty()) dumpBuffer(buffer, dump, 16, 16);
 
   double sum = 0;
   int cnt = 0;

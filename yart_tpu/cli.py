@@ -20,7 +20,8 @@ import sys
 def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="yart-tpu", description=__doc__)
     p.add_argument("scene", help=".gltf/.glb path or procedural name "
-                               "(cornell | cornell-mat | spheres | furnace)")
+                               "(cornell | cornell-mat | spheres | furnace | "
+                               "atrium | atrium-ivy | roadster)")
     p.add_argument("--config", default=None,
                    help="JSON file of flag defaults (a config system — the "
                         "reference's knobs are compile-time edits, "
@@ -55,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--preview", default=None,
                    help="write a tonemapped preview PNG after every wave "
                         "(the live-view analog of the reference's Metal viewer)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve a live progressive view over HTTP with "
+                        "pan/zoom (the headless analog of the reference's "
+                        "Metal+SDL2 viewer, src/frontend/metal-sdl2)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR "
                         "(the TPU analog of the reference's Mrays/s prints, "
@@ -85,6 +90,14 @@ def build_scene(args):
         b = procedural.material_test_spheres()
     elif args.scene == "furnace":
         b = procedural.furnace()
+    elif args.scene in ("atrium", "atrium-ivy"):
+        from yart_tpu.scene.showcase import atrium
+
+        b = atrium(ivy=args.scene.endswith("ivy"))
+    elif args.scene == "roadster":
+        from yart_tpu.scene.showcase import roadster
+
+        b = roadster()
     else:
         from yart_tpu.scene.gltf import load
 
@@ -104,6 +117,9 @@ def default_camera(args, name):
         "cornell-mat": ((0, 1.0, 3.4), (0, 1.0, 0)),
         "spheres": ((0, 2.2, 5.5), (0, 0.4, -0.6)),
         "furnace": ((0, 0, 3.5), (0, 0, 0)),
+        "atrium": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
+        "atrium-ivy": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
+        "roadster": ((4.4, 1.7, 5.0), (0.0, 0.5, 0.0)),
     }
     pos, target = defaults.get(name, ((0, 1, 4), (0, 1, 0)))
     if args.camera_pos:
@@ -195,6 +211,14 @@ def main(argv=None) -> int:
     if not args.quiet and r.n_devices > 1:
         print(f"mesh: {r.n_devices} devices")
 
+    server = None
+    if args.serve is not None:
+        from yart_tpu.io.preview import PreviewServer
+
+        server = PreviewServer(args.serve)
+        if not args.quiet:
+            print(f"live view: http://localhost:{server.port}/")
+
     def on_wave(wd, preview):
         if not args.quiet:
             mrays = wd.rays / max(wd.time, 1e-9) / 1e6
@@ -204,6 +228,8 @@ def main(argv=None) -> int:
             )
         if args.preview:
             write_png(args.preview, preview, gamma_encode=False)
+        if server is not None:
+            server.update(preview, wd)
 
     if args.profile:
         import contextlib
@@ -217,6 +243,8 @@ def main(argv=None) -> int:
         profile_cm = contextlib.nullcontext()
     with profile_cm:
         res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
+    if server is not None:
+        server.update(res.display, done=True)
 
     out = args.output
     if out.endswith(".ppm"):

@@ -29,9 +29,9 @@ def write_ppm(path: str, display: np.ndarray) -> None:
         f.write(data.tobytes())
 
 
-def write_png(path: str, display: np.ndarray, gamma_encode: bool = True) -> None:
+def encode_png(display: np.ndarray, gamma_encode: bool = True) -> bytes:
     """Minimal RGB8 PNG encoder; display is [H, W, 3] linear (or already
-    encoded if gamma_encode=False)."""
+    encoded if gamma_encode=False). Returns the PNG bytes."""
     h, w = display.shape[:2]
     if gamma_encode:
         data = _encode_gamma22(display[..., :3])
@@ -51,14 +51,17 @@ def write_png(path: str, display: np.ndarray, gamma_encode: bool = True) -> None
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, display: np.ndarray, gamma_encode: bool = True) -> None:
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(display, gamma_encode))
 
 
 def load_hdr(path: str) -> np.ndarray:

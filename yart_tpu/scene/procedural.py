@@ -23,6 +23,7 @@ def _quad(p0, p1, p2, p3):
 def cornell_box(
     light_scale: float = 1.0,
     extra_materials: bool = False,
+    boxes: bool = True,
 ) -> SceneBuilder:
     """Classic Cornell box in [-1,1]^2 x [0,2]: white walls, red left, green
     right, area light at the ceiling, two boxes."""
@@ -54,8 +55,11 @@ def cornell_box(
     ]:
         b.add_mesh(verts, idx, mat)
 
-    # Two boxes
-    if extra_materials:
+    # Two boxes (omit with boxes=False to match the oracle's empty box,
+    # tools/oracle/furnace_oracle.cpp cornellMain)
+    if not boxes:
+        pass
+    elif extra_materials:
         metal = b.add_material(
             base_color=(0.9, 0.7, 0.3, 1.0), metallic=1.0, roughness=0.2
         )
