@@ -135,6 +135,9 @@ def bench_cornell(results):
 
 
 def main():
+    from yart_tpu.cache import enable_compile_cache
+
+    enable_compile_cache()
     results = {}
     errors = {}
     for name, fn in (("bigscene", bench_bigscene), ("cornell", bench_cornell)):

@@ -61,6 +61,10 @@ def run(mode: str, lanes: int, n_spheres: int, cluster_size: int, k: int):
     import jax
     import jax.numpy as jnp
 
+    from yart_tpu.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from yart_tpu.render.bintrace import intersect_bintrace
     from yart_tpu.render.intersect import intersect_bvh_sorted
 

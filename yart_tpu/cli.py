@@ -157,9 +157,12 @@ def main(argv=None) -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
     )
 
+    from yart_tpu.cache import enable_compile_cache
     from yart_tpu.config import CameraConfig, RenderConfig
     from yart_tpu.io.image import write_png, write_ppm
     from yart_tpu.render.renderer import Renderer
+
+    enable_compile_cache()
 
     if args.debug_nan:
         import jax

@@ -78,6 +78,56 @@ def fetch_3d(tab, x0, x1, x2):
     return jnp.sum(a * w1[..., :, None] * w2[..., None, :], axis=(-2, -1))
 
 
+def ref_lerp_weights(x, n: int):
+    """[N] coords -> [N, n] weights with the REFERENCE's LUT indexing
+    (luts.hpp:33-187): idx = min(size_t(x*(n-1)), n-2) and frac left
+    UNCLAMPED. The size_t cast of a negative float is UB; the x86 g++ build
+    this project validates against (tools/oracle) wraps negatives to a huge
+    value, so min() selects the TOP bin and the lerp extrapolates off the
+    top edge. (On the reference author's arm64 the same cast saturates to 0
+    and extrapolates off the BOTTOM — the reference's backside-cosine
+    behavior is platform-defined; we match the oracle.) For in-range inputs
+    this is exactly the reference's clamped bilerp, same as hat_weights."""
+    xo = x * (n - 1.0)
+    idx = jnp.where(
+        xo < 0.0,
+        n - 2,
+        jnp.minimum(xo.astype(jnp.int32), n - 2),
+    )
+    frac = (xo - idx.astype(jnp.float32))[..., None]
+    base = onehot(idx, n)
+    nxt = onehot(idx + 1, n)
+    return base * (1.0 - frac) + nxt * frac
+
+
+def fetch_1d_ref(tab, x):
+    """Reference-indexed linear interp of [n] table (luts.hpp semantics)."""
+    return jnp.sum(ref_lerp_weights(x, tab.shape[0]) * tab[None, :], axis=-1)
+
+
+def fetch_2d_ref(tab, x0, x1):
+    """Reference-indexed bilerp of [n0, n1] table."""
+    n0, n1 = tab.shape
+    w0 = ref_lerp_weights(x0, n0)
+    w1 = ref_lerp_weights(x1, n1)
+    a = jnp.dot(w0, tab.astype(jnp.float32), preferred_element_type=jnp.float32)
+    return jnp.sum(a * w1, axis=-1)
+
+
+def fetch_3d_ref(tab, x0, x1, x2):
+    """Reference-indexed trilerp of [n0, n1, n2] table."""
+    n0, n1, n2 = tab.shape
+    w0 = ref_lerp_weights(x0, n0)
+    w1 = ref_lerp_weights(x1, n1)
+    w2 = ref_lerp_weights(x2, n2)
+    a = jnp.dot(
+        w0,
+        tab.reshape(n0, n1 * n2).astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(x0.shape + (n1, n2))
+    return jnp.sum(a * w1[..., :, None] * w2[..., None, :], axis=(-2, -1))
+
+
 def select_along(vals, best):
     """take_along_axis(vals [N, K(, C)], best [N]) without a gather."""
     k = vals.shape[1]

@@ -304,34 +304,38 @@ def load_tables():
 # ---------------------------------------------------------------------------
 # Device-side fetch (batched; mirrors luts.hpp:33-187 semantics)
 #
-# Implemented as gather-free hat-weight contractions (ops/gatherless.py):
-# per-lane gathers are ~100x slower than one-hot/hat matmuls on TPU, and the
-# hat formulation reproduces the reference's clamped bilerp/trilerp exactly.
+# Implemented as gather-free weight contractions (ops/gatherless.py): per-lane
+# gathers are ~100x slower than one-hot/hat matmuls on TPU. The weights use
+# the REFERENCE's exact index arithmetic (fetch_*_ref), including its
+# unclamped lerp fractions: negative cosines (backside evaluations in
+# parametric.cpp sampleGlossy, :662,675-676,717) EXTRAPOLATE off the table
+# edge instead of clamping — measurably visible in emissive-surface
+# brightness (see tests/test_parity.py).
 # ---------------------------------------------------------------------------
 
-from yart_tpu.ops.gatherless import fetch_1d, fetch_2d, fetch_3d
+from yart_tpu.ops.gatherless import fetch_1d_ref, fetch_2d_ref, fetch_3d_ref
 
 
 def ggx_e(tables, cos_theta, r):
     """ggxE (luts.hpp:34-45); axes [r][cos]."""
-    return fetch_2d(jnp.asarray(tables["ggx_E"]), r, cos_theta)
+    return fetch_2d_ref(jnp.asarray(tables["ggx_E"]), r, cos_theta)
 
 
 def ggx_eavg(tables, r):
     """ggxEavg (luts.hpp:53-58)."""
-    return fetch_1d(jnp.asarray(tables["ggx_Eavg"]), r)
+    return fetch_1d_ref(jnp.asarray(tables["ggx_Eavg"]), r)
 
 
 def ggx_base_e(tables, f0, r, cos_theta):
     """ggxBaseE (luts.hpp:70-99); axes [f0][r][cos]."""
     f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
-    return fetch_3d(jnp.asarray(tables["ggx_base_E"]), f0, r, cos_theta)
+    return fetch_3d_ref(jnp.asarray(tables["ggx_base_E"]), f0, r, cos_theta)
 
 
 def ggx_base_eavg(tables, f0, r):
     """ggxBaseEavg (luts.hpp:107-118); axes [f0][r]."""
     f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
-    return fetch_2d(jnp.asarray(tables["ggx_base_Eavg"]), f0, r)
+    return fetch_2d_ref(jnp.asarray(tables["ggx_base_Eavg"]), f0, r)
 
 
 def _glass_f0(ior):
@@ -346,8 +350,8 @@ def ggx_glass_e(tables, ior, r, cos_theta):
     inv = ior < 1.0
     ior_n = jnp.where(inv, 1.0 / jnp.maximum(ior, 1e-6), ior)
     f0 = _glass_f0(ior_n)
-    v_n = fetch_3d(jnp.asarray(tables["ggx_glass_E"]), f0, cos_theta, r)
-    v_i = fetch_3d(jnp.asarray(tables["ggx_glass_inv_E"]), f0, cos_theta, r)
+    v_n = fetch_3d_ref(jnp.asarray(tables["ggx_glass_E"]), f0, cos_theta, r)
+    v_i = fetch_3d_ref(jnp.asarray(tables["ggx_glass_inv_E"]), f0, cos_theta, r)
     return jnp.where(inv, v_i, v_n)
 
 
@@ -356,6 +360,6 @@ def ggx_glass_eavg(tables, ior, r):
     inv = ior < 1.0
     ior_n = jnp.where(inv, 1.0 / jnp.maximum(ior, 1e-6), ior)
     f0 = _glass_f0(ior_n)
-    v_n = fetch_2d(jnp.asarray(tables["ggx_glass_Eavg"]), f0, r)
-    v_i = fetch_2d(jnp.asarray(tables["ggx_glass_inv_Eavg"]), f0, r)
+    v_n = fetch_2d_ref(jnp.asarray(tables["ggx_glass_Eavg"]), f0, r)
+    v_i = fetch_2d_ref(jnp.asarray(tables["ggx_glass_inv_Eavg"]), f0, r)
     return jnp.where(inv, v_i, v_n)

@@ -48,14 +48,23 @@ from yart_tpu.ops.gatherless import select_along
 _BIG = jnp.float32(3.0e38)
 _NOID = jnp.int32(1 << 30)
 
+# Batcher odd-even mergesort network for 8 elements (19 compare-exchanges).
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+]
+
 
 class _Collect(NamedTuple):
     iters: jnp.ndarray
-    cur: jnp.ndarray  # [N] encoded coarse ref
-    cur_dist: jnp.ndarray  # [N]
-    sp: jnp.ndarray  # [N]
-    senc: jnp.ndarray  # [N, S]
-    sdist: jnp.ndarray  # [N, S]
+    group: jnp.ndarray  # [N] current coarse group id
+    cursor: jnp.ndarray  # [N] next sorted-child index within the group
+    sp: jnp.ndarray  # [N] stack pointer
+    stack: jnp.ndarray  # [N, S] packed (group << 3 | cursor) entries
     slots: jnp.ndarray  # [N, K] collected cluster ids (-1 empty)
     n_col: jnp.ndarray  # [N] slots used (incl. reserved slot 0)
     bound_e: jnp.ndarray  # [N] lexmin entry over dropped candidates
@@ -66,26 +75,33 @@ class _Collect(NamedTuple):
 def collect_clusters(scene, meta, o, d, t_cur, t_min, w_e, w_id, active, k):
     """Phase 1: one collection pass. Returns (slots [N,K], n_col, bound_e,
     bound_id). Candidate = cluster whose box the ray enters before t_cur,
-    filtered to (entry, id) >=lex (w_e, w_id)."""
+    filtered to (entry, id) >=lex (w_e, w_id).
+
+    Group-stack traversal: per-lane state is (group, cursor) where cursor
+    indexes the group's DISTANCE-SORTED children, and the stack holds one
+    packed (group, cursor) word per tree level (S = depth + 1). Each
+    iteration re-fetches the group row, re-sorts its children with a
+    Batcher network, and visits sorted child #cursor — recomputing the sort
+    on pops trades cheap VPU work for the per-lane stack traffic and XLA
+    scatters (~3 ms each at 262k lanes) that dominated the deep-stack
+    formulation."""
     n = o.shape[0]
     width = 8
-    stack_depth = (width - 1) * meta.coarse_depth + 2
-    max_iters = int(scene.coarse_pack.shape[0]) * 2 + meta.n_clusters + 64
+    stack_depth = meta.coarse_depth + 2
+    max_iters = int(scene.coarse_pack.shape[0]) * (width + 1) + 64
 
     idir = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     odir = -o * idir
     arange_s = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
-    arange_w = jnp.arange(width, dtype=jnp.int32)[None, :]
-    lanes = jnp.arange(n, dtype=jnp.int32)
+    arange_k = jnp.arange(k, dtype=jnp.int32)[None, :]
     has_window = w_id >= 0
 
     st = _Collect(
         iters=jnp.asarray(0, jnp.int32),
-        cur=jnp.zeros((n,), jnp.int32),
-        cur_dist=jnp.full((n,), t_min, jnp.float32),
+        group=jnp.zeros((n,), jnp.int32),
+        cursor=jnp.zeros((n,), jnp.int32),
         sp=jnp.zeros((n,), jnp.int32),
-        senc=jnp.zeros((n, stack_depth), jnp.int32),
-        sdist=jnp.zeros((n, stack_depth), jnp.float32),
+        stack=jnp.zeros((n, stack_depth), jnp.int32),
         slots=jnp.full((n, k), -1, jnp.int32),
         n_col=jnp.where(has_window, 1, 0).astype(jnp.int32),
         bound_e=jnp.full((n,), _BIG, jnp.float32),
@@ -97,40 +113,8 @@ def collect_clusters(scene, meta, o, d, t_cur, t_min, w_e, w_id, active, k):
         return jnp.any(st.active) & (st.iters < max_iters)
 
     def body(st):
-        is_leaf = st.cur <= -2
-        near_ok = st.cur_dist < t_cur
-        do_leaf = st.active & is_leaf & near_ok
-        do_inner = st.active & (~is_leaf) & near_ok
-
-        # ---- leaf: up to coarse_max_leaf cluster candidates ----
-        vdec = -(st.cur + 2)
-        first = jnp.where(is_leaf, vdec >> 4, 0)
-        count = jnp.where(do_leaf, vdec & 15, 0)
-        slots, n_col, bound_e, bound_id = (
-            st.slots, st.n_col, st.bound_e, st.bound_id,
-        )
-        entry = st.cur_dist
-        for j in range(meta.coarse_max_leaf):
-            cid = first + j
-            present = j < count
-            elig = present & (
-                (entry > w_e) | ((entry == w_e) & (cid >= w_id))
-            )
-            is_win = elig & (cid == w_id)
-            can = elig & (is_win | (n_col < k))
-            slot = jnp.where(is_win, 0, jnp.minimum(n_col, k - 1))
-            write = jnp.where(can, slot, k)  # k = out of bounds -> dropped
-            slots = slots.at[lanes, write].set(cid, mode="drop")
-            n_col = n_col + (can & ~is_win).astype(jnp.int32)
-            dropped = elig & ~can
-            better = dropped & (
-                (entry < bound_e) | ((entry == bound_e) & (cid < bound_id))
-            )
-            bound_e = jnp.where(better, entry, bound_e)
-            bound_id = jnp.where(better, cid, bound_id)
-
-        # ---- inner: one row gather, 8 box tests ----
-        row = scene.coarse_pack[jnp.maximum(st.cur, 0)]  # [N, 56]
+        # ---- fetch current group, test and sort its children ----
+        row = scene.coarse_pack[jnp.maximum(st.group, 0)]  # [N, 56]
         boxes = row[:, :48].reshape(n, width, 6)
         enc8 = lax.bitcast_convert_type(row[:, 48:56], jnp.int32)
         lo = boxes[..., 0:3] * idir[:, None, :] + odir[:, None, :]
@@ -142,50 +126,90 @@ def collect_clusters(scene, meta, o, d, t_cur, t_min, w_e, w_id, active, k):
         c1 = jnp.minimum(c1r, t_cur[:, None])
         # Window prune: a child exiting before w_e holds only clusters whose
         # entry < w_e — all ineligible this round.
-        chit = (
-            (c1 >= c0)
-            & (c1r >= w_e[:, None])
-            & (enc8 != -1)
-            & do_inner[:, None]
-        )
+        chit = (c1 >= c0) & (c1r >= w_e[:, None]) & (enc8 != -1)
 
         dist8 = jnp.where(chit, c0, F32_MAX)
-        order = jnp.argsort(dist8, axis=-1)
-        perm = (order[:, :, None] == arange_w[:, None, :]).astype(jnp.float32)
-        s_enc = jnp.einsum(
-            "noi,ni->no", perm, enc8.astype(jnp.float32)
-        ).astype(jnp.int32)
-        s_dist = jnp.einsum("noi,ni->no", perm, dist8)
+        dcols = [dist8[:, i] for i in range(width)]
+        ecols = [enc8[:, i] for i in range(width)]
+        for i, j in _SORT8:
+            swap = dcols[i] > dcols[j]
+            di, dj = dcols[i], dcols[j]
+            dcols[i] = jnp.where(swap, dj, di)
+            dcols[j] = jnp.where(swap, di, dj)
+            ei, ej = ecols[i], ecols[j]
+            ecols[i] = jnp.where(swap, ej, ei)
+            ecols[j] = jnp.where(swap, ei, ej)
         n_hit = jnp.sum(chit, axis=-1).astype(jnp.int32)
 
-        descend = do_inner & (n_hit > 0)
-        n_push = jnp.maximum(n_hit - 1, 0)
-        rel = arange_s - st.sp[:, None]
-        write_s = (rel >= 0) & (rel < n_push[:, None]) & descend[:, None]
-        src = jnp.clip(n_hit[:, None] - 1 - rel, 0, width - 1)
-        sel = src[:, :, None] == arange_w[:, None, :]
-        val_enc = jnp.sum(jnp.where(sel, s_enc[:, None, :], 0), axis=-1)
-        val_dist = jnp.sum(jnp.where(sel, s_dist[:, None, :], 0.0), axis=-1)
-        senc = jnp.where(write_s, val_enc, st.senc)
-        sdist = jnp.where(write_s, val_dist, st.sdist)
-        sp = st.sp + jnp.where(descend, n_push, 0)
+        # sorted child #cursor (cursor < 8 always)
+        cur_sel = st.cursor[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]
+        child = jnp.sum(
+            jnp.where(cur_sel, jnp.stack(ecols, axis=1), 0), axis=1
+        )
+        child_d = jnp.sum(
+            jnp.where(cur_sel, jnp.stack(dcols, axis=1), 0.0), axis=1
+        )
+        has_child = st.active & (st.cursor < n_hit)
+        is_leaf = has_child & (child <= -2)
+        is_inner = has_child & (child >= 0)
 
-        # ---- pop / terminate ----
-        need_pop = do_leaf | (st.active & ~near_ok) | (do_inner & ~descend)
+        # ---- leaf child: up to coarse_max_leaf cluster candidates ----
+        vdec = -(child + 2)
+        first = jnp.where(is_leaf, vdec >> 4, 0)
+        count = jnp.where(is_leaf, vdec & 15, 0)
+        slots, n_col, bound_e, bound_id = (
+            st.slots, st.n_col, st.bound_e, st.bound_id,
+        )
+        entry = child_d
+        for j in range(meta.coarse_max_leaf):
+            cid = first + j
+            present = is_leaf & (j < count)
+            elig = present & (
+                (entry > w_e) | ((entry == w_e) & (cid >= w_id))
+            )
+            is_win = elig & (cid == w_id)
+            can = elig & (is_win | (n_col < k))
+            slot = jnp.where(is_win, 0, jnp.minimum(n_col, k - 1))
+            # [N, K] masked write (K is small; scatters are slow on TPU)
+            put = can[:, None] & (arange_k == slot[:, None])
+            slots = jnp.where(put, cid[:, None], slots)
+            n_col = n_col + (can & ~is_win).astype(jnp.int32)
+            dropped = elig & ~can
+            better = dropped & (
+                (entry < bound_e) | ((entry == bound_e) & (cid < bound_id))
+            )
+            bound_e = jnp.where(better, entry, bound_e)
+            bound_id = jnp.where(better, cid, bound_id)
+
+        # ---- advance ----
+        # inner child: push (group, cursor+1) and descend; leaf child (or a
+        # pruned miss): advance cursor; exhausted: pop.
+        push = is_inner & (st.cursor + 1 < n_hit)
+        packed = (st.group << 3) | jnp.minimum(st.cursor + 1, 7)
+        put_s = push[:, None] & (arange_s == jnp.minimum(st.sp, stack_depth - 1)[:, None])
+        stack = jnp.where(put_s, packed[:, None], st.stack)
+        sp = st.sp + push.astype(jnp.int32)
+
+        need_pop = st.active & ~has_child
         can_pop = sp > 0
         sp_post = jnp.where(need_pop & can_pop, sp - 1, sp)
-        pop_idx = jnp.clip(sp_post, 0, stack_depth - 1)
-        popped_enc = select_along(senc, pop_idx)
-        popped_d = select_along(sdist, pop_idx)
-        cur = jnp.where(
-            descend, s_enc[:, 0], jnp.where(need_pop, popped_enc, st.cur)
+        popped = jnp.take_along_axis(
+            stack, jnp.clip(sp_post, 0, stack_depth - 1)[:, None], axis=1
+        )[:, 0]
+        group = jnp.where(
+            is_inner, child,
+            jnp.where(need_pop & can_pop, popped >> 3, st.group),
         )
-        cur_dist = jnp.where(
-            descend, s_dist[:, 0], jnp.where(need_pop, popped_d, st.cur_dist)
+        cursor = jnp.where(
+            is_inner, 0,
+            jnp.where(
+                need_pop & can_pop, popped & 7,
+                jnp.where(is_leaf, st.cursor + 1, st.cursor),
+            ),
         )
         active = st.active & ~(need_pop & ~can_pop)
         return _Collect(
-            st.iters + 1, cur, cur_dist, sp_post, senc, sdist,
+            st.iters + 1, group, cursor, sp_post, stack,
             slots, n_col, bound_e, bound_id, active,
         )
 

@@ -223,7 +223,7 @@ def _f_metallic(tables, mat, a, wo, wi):
 
     fss = fresnel_schlick(mat.base, absdot(wo, wm)[..., None])
     mss = fss * (ggx.mdf(a, wm) * ggx.g(a, wo, wi) / jnp.maximum(4 * cos_o * cos_i, 1e-12))[..., None]
-    ess = jnp.maximum(lut.ggx_e(tables, jnp.clip(cos_o, 0.0, 1.0), a.roughness), 1e-4)
+    ess = jnp.maximum(lut.ggx_e(tables, cos_o, a.roughness), 1e-4)
     mms = mss * mat.base * ((1.0 - ess) / ess)[..., None]
     return jnp.where(ok[..., None], mss + mms, 0.0)
 
@@ -250,7 +250,7 @@ def _f_dielectric(tables, mat, a, wo, wi):
     fss = fresnel_dielectric(absdot(wo, wm), ior)
     t = 1.0 - fss
     e_o = jnp.maximum(
-        lut.ggx_glass_e(tables, ior, a.roughness, jnp.clip(jnp.abs(cos_o), 0, 1)),
+        lut.ggx_glass_e(tables, ior, a.roughness, jnp.abs(cos_o)),
         1e-4,
     )
 
@@ -323,8 +323,8 @@ def _glossy_diffuse_factor(tables, mat, a, cos_o, cos_i):
     """Kulla-Conty energy-conserving diffuse weight (parametric.cpp:606-613)."""
     r0 = (1.0 - mat.ior) / (1.0 + mat.ior)
     f0 = r0 * r0
-    e_wo = lut.ggx_base_e(tables, f0, a.roughness, jnp.clip(cos_o, 0, 1))
-    e_wi = lut.ggx_base_e(tables, f0, a.roughness, jnp.clip(cos_i, 0, 1))
+    e_wo = lut.ggx_base_e(tables, f0, a.roughness, cos_o)
+    e_wi = lut.ggx_base_e(tables, f0, a.roughness, cos_i)
     eavg = lut.ggx_base_eavg(tables, f0, a.roughness)
     return (1.0 - e_wo) * (1.0 - e_wi) / jnp.maximum(PI * (1.0 - eavg), 1e-6)
 
@@ -342,8 +342,8 @@ def _f_glossy(tables, mat, a, wo, wi):
 
     favg = _favg_fit(mat.ior)
     eavg = lut.ggx_eavg(tables, a.roughness)
-    e_o = lut.ggx_e(tables, jnp.clip(cos_o, 0, 1), a.roughness)
-    e_i = lut.ggx_e(tables, jnp.clip(cos_i, 0, 1), a.roughness)
+    e_o = lut.ggx_e(tables, cos_o, a.roughness)
+    e_i = lut.ggx_e(tables, cos_i, a.roughness)
     mms = (1.0 - e_o) * (1.0 - e_i) / jnp.maximum(PI * (1.0 - eavg), 1e-6)
     fms = favg * favg * eavg / jnp.maximum(1.0 - favg * (1.0 - eavg), 1e-6)
 
@@ -364,7 +364,7 @@ def _pdf_glossy(tables, mat, a, wo, wi):
     favg = _favg_fit(mat.ior)
     eavg = lut.ggx_eavg(tables, a.roughness)
     fms = favg * favg * eavg / jnp.maximum(1.0 - favg * (1.0 - eavg), 1e-6)
-    e_o = lut.ggx_e(tables, jnp.clip(cos_o, 0, 1), a.roughness)
+    e_o = lut.ggx_e(tables, cos_o, a.roughness)
     kappa = 1.0 - (favg * e_o + fms * (1.0 - e_o))
 
     spec_pdf = (fss + fms) * ggx.vmdf(a, wo, wm) / jnp.maximum(4 * absdot(wo, wm), 1e-12)
@@ -586,7 +586,7 @@ def _sample_metallic(tables, mat, a, smooth, wo, wm):
     cos_i = jnp.abs(wi[..., 2])
     fss = fresnel_schlick(mat.base, absdot(wo, wm)[..., None])
     mss = fss * (ggx.mdf(a, wm) * ggx.g(a, wo, wi) / jnp.maximum(4 * cos_o * cos_i, 1e-12))[..., None]
-    ess = jnp.maximum(lut.ggx_e(tables, jnp.clip(cos_o, 0, 1), a.roughness), 1e-4)
+    ess = jnp.maximum(lut.ggx_e(tables, cos_o, a.roughness), 1e-4)
     f = mss * (1.0 + mat.base * ((1.0 - ess) / ess)[..., None])
 
     flags_r = jnp.where(valid, REFLECTED | GLOSSY, ABSORBED)
@@ -634,7 +634,7 @@ def _sample_dielectric(tables, mat, a, smooth, wo, wm, uc):
     fss = fresnel_dielectric(absdot(wo, wm), ior_rel)
     cos_o = jnp.abs(wo[..., 2])
     e_o = jnp.maximum(
-        lut.ggx_glass_e(tables, ior_rel, a.roughness, jnp.clip(cos_o, 0, 1)), 1e-4
+        lut.ggx_glass_e(tables, ior_rel, a.roughness, cos_o), 1e-4
     )
     refl = uc < fss
 
@@ -713,7 +713,10 @@ def _sample_glossy(tables, mat, a, smooth, wo, wm, u, uc):
     favg = _favg_fit(mat.ior)
     eavg = lut.ggx_eavg(tables, a.roughness)
     fms = favg * favg * eavg / jnp.maximum(1.0 - favg * (1.0 - eavg), 1e-6)
-    e_o = lut.ggx_e(tables, jnp.clip(cos_o, 0, 1), a.roughness)
+    # RAW sign-carrying cosine, like parametric.cpp:658-662: backside
+    # evaluations extrapolate off the LUT edge (see ops/gatherless.py
+    # ref_lerp_weights) - this is visible in emissive-surface brightness.
+    e_o = lut.ggx_e(tables, cos_o, a.roughness)
     kappa = 1.0 - (favg * e_o + fms * (1.0 - e_o))
 
     sel_diffuse = uc < kappa
@@ -722,9 +725,7 @@ def _sample_glossy(tables, mat, a, smooth, wo, wm, u, uc):
     wi_d = warps.sample_cosine_hemisphere(u)
     wi_d = jnp.where((cos_o < 0)[..., None], -wi_d, wi_d)
     cos_i_d = wi_d[..., 2]
-    c_diffuse = _glossy_diffuse_factor(
-        tables, mat, a, jnp.abs(cos_o), jnp.abs(cos_i_d)
-    )
+    c_diffuse = _glossy_diffuse_factor(tables, mat, a, cos_o, cos_i_d)
     f_d = mat.base * c_diffuse[..., None]
     pdf_d = jnp.abs(cos_i_d) * c_diffuse
     emissive = jnp.sum(mat.emission * mat.emission, axis=-1) > 0.0
@@ -745,7 +746,7 @@ def _sample_glossy(tables, mat, a, smooth, wo, wm, u, uc):
     mss = ggx.mdf(a, wm) * ggx.g(a, wo, wi_g) / jnp.maximum(
         jnp.abs(4 * cos_o * cos_i_g), 1e-12
     )
-    e_i = lut.ggx_e(tables, jnp.clip(jnp.abs(cos_i_g), 0, 1), a.roughness)
+    e_i = lut.ggx_e(tables, cos_i_g, a.roughness)
     mms = (1.0 - e_o) * (1.0 - e_i) / jnp.maximum(PI * (1.0 - eavg), 1e-6)
     f_g = (fss * mss + fms * mms)[..., None] * jnp.ones_like(mat.base)
     pdf_g = ggx.vmdf(a, wo, wm) / jnp.maximum(4 * absdot(wo, wm), 1e-12) * fss

@@ -33,6 +33,9 @@ def cornell_box(
     green = b.add_material(base_color=(0.12, 0.45, 0.15, 1.0), roughness=1.0)
     light = b.add_material(
         base_color=(0.0, 0.0, 0.0, 1.0),
+        roughness=1.0,  # emission returns via the glossy diffuse branch with
+        # probability (1 - F(roughness)) (parametric.cpp:212-255), so the
+        # light's roughness is visible in its rendered brightness
         emission=(1.0, 0.85, 0.7),
         emission_strength=15.0 * light_scale,
     )
