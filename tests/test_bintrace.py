@@ -109,11 +109,19 @@ def test_pair_kernel_interpret_matches_ref():
     b = cluster_pairs_ref(
         scene.clus_pack, cid, first, live, x, meta.cluster_size, 1e-3
     )
-    for ka, kb in zip(a, b):
-        np.testing.assert_allclose(
-            np.asarray(ka, np.float32), np.asarray(kb, np.float32),
-            rtol=1e-5, atol=1e-5,
-        )
+    # The two lowerings may fuse the FMA chains differently, so ulp-level t
+    # ties can select a different (equally close) triangle. Require t to
+    # agree tightly everywhere, and everything else to agree wherever the
+    # same triangle won (which must be nearly always).
+    ta, ua, va, ba, ia = (np.asarray(z) for z in a)
+    tb, ub, vb, bb_, ib = (np.asarray(z) for z in b)
+    np.testing.assert_allclose(ta, tb, rtol=1e-5, atol=1e-5)
+    same = ia == ib
+    assert same.mean() > 0.999
+    same &= ia >= 0  # u/v/back are unspecified garbage on miss lanes
+    np.testing.assert_allclose(ua[same], ub[same], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(va[same], vb[same], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ba[same], bb_[same])
 
 
 def _compare_vs_brute(scene, meta, o, d, k, t_max=100.0, nee=False):

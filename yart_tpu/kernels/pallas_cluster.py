@@ -37,11 +37,23 @@ F32_MAX = 3.0e38  # python float: jnp scalars become captured consts in pallas
 
 def _pair_test(o, d, tmax, tri, c: int, t_min: float):
     """Shared math: o,d [B,3], tmax [B,1], tri [8, 3C] -> per-pair best
-    (t, u, v, back, col, anyv) with t == F32_MAX on miss."""
-    vecs = tri[0:3, :]  # [3, 3C]
+    (t, u, v, back, col, anyv) with t == F32_MAX on miss.
+
+    The six ray.(n|eu|ev) dot products are written as broadcast FMAs
+    ([B,1] x [1,3C]) rather than [B,3]x[3,3C] matmuls: K=3 contractions
+    need sublane-major relayouts on Mosaic, while lane/sublane broadcasts
+    map straight onto the VPU."""
     consts = tri[3, :][None, :]  # [1, 3C]
-    ro = jnp.dot(o, vecs, preferred_element_type=jnp.float32)  # [B, 3C]
-    rd = jnp.dot(d, vecs, preferred_element_type=jnp.float32)
+    ro = (
+        o[:, 0:1] * tri[0, :][None, :]
+        + o[:, 1:2] * tri[1, :][None, :]
+        + o[:, 2:3] * tri[2, :][None, :]
+    )  # [B, 3C]
+    rd = (
+        d[:, 0:1] * tri[0, :][None, :]
+        + d[:, 1:2] * tri[1, :][None, :]
+        + d[:, 2:3] * tri[2, :][None, :]
+    )
     no, uo, vo = ro[:, :c], ro[:, c : 2 * c], ro[:, 2 * c :]
     nd, ud, vd = rd[:, :c], rd[:, c : 2 * c], rd[:, 2 * c :]
     cn, cu, cv = consts[:, :c], consts[:, c : 2 * c], consts[:, 2 * c :]

@@ -1,0 +1,306 @@
+"""Block-trace: coherence-sorted block traversal for big scenes.
+
+The fast path for large-scene intersection on TPU (kernels/
+pallas_blocktrace.py has the design rationale). Rays are sorted by
+(direction octant, origin Morton cell) and cut into blocks of B; per round,
+a *select* kernel scores every cluster AABB against each block and extracts
+the K lexicographically-nearest candidates, and a *test* kernel closest-hit
+tests each (block, slot) pair against the block's rays. Blocks whose
+candidate set overflowed K re-run with a lexicographic window until every
+ray's best hit provably precedes every untested cluster — the same
+continuation-window argument as render/bintrace.py, lifted from per-ray to
+per-block granularity (windows and bounds are block-min packed keys).
+
+Semantics match the reference's closest-hit / shadow-ray contract
+(src/cpu/ray-integrator.cpp:84-229). Per-hit gates (stochastic alpha, NEE
+transparent-surface attenuation, ray-integrator.cpp:205-219) cannot run
+inside the kernels (they need texture fetches), so `intersect_blocktrace_
+gated` iterates: find the closest ungated hit, evaluate the gates in XLA,
+and re-cast rejected lanes with the hit distance as a floor. The stochastic
+alpha stream is the same per-(lane, tri) hash as the stack paths
+(render/intersect.py:102-104), so accept/reject decisions are identical and
+order-free; results match intersect_bvh8 exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yart_tpu.kernels.pallas_blocktrace import (
+    ID_MASK,
+    KEY_DEAD,
+    select_clusters_pallas,
+    test_clusters_pallas,
+)
+from yart_tpu.kernels.pallas_cluster import F32_MAX
+from yart_tpu.ops.qmc import mix32, u32_to_unit_float
+
+_BIG = jnp.float32(3.0e38)
+_WKEY0 = -(1 << 31)  # initial window: everything eligible
+
+MAX_CLUSTERS = 1 << 12  # ID_BITS; bigger scenes use render/bintrace.py
+
+
+def _pad_sorted(scene, o, d, t_max_v, floor_v, block):
+    """Coherence-sort rays and pad to a whole number of blocks. Returns
+    (o_s, d_s, t_s, floor_s, inv) where inv gathers sorted results back to
+    original lane order; padded lanes have t = -1 (instantly done)."""
+    from yart_tpu.render.intersect import _coherence_key
+
+    n = o.shape[0]
+    pad = (-n) % block
+    key = _coherence_key(scene, o, d)
+    order = jnp.argsort(key)
+    inv = jnp.argsort(order)
+    if pad:
+        order = jnp.concatenate([order, jnp.full((pad,), n - 1, order.dtype)])
+        live = jnp.arange(n + pad) < n
+    else:
+        live = None
+    o_s = o[order]
+    d_s = d[order]
+    t_s = t_max_v[order]
+    floor_s = floor_v[order]
+    if live is not None:
+        t_s = jnp.where(live, t_s, -1.0)
+    return o_s, d_s, t_s, floor_s, inv
+
+
+def intersect_blocktrace(
+    scene,
+    meta,
+    o,
+    d,
+    t_max,
+    t_min: float = 1e-3,
+    nee: bool = False,
+    floor=None,
+    block: int = 256,
+    k: int = 24,
+    max_rounds: int = 64,
+    interpret: bool = False,
+):
+    """Closest-hit (or NEE early-out) through the block-trace pipeline.
+    `floor` [N] optionally restricts hits to t > floor (used by the gated
+    re-cast loop). Exact vs the stack traversals up to the triangle-test
+    formulation (plane/barycentric vs Moller-Trumbore cross products)."""
+    from yart_tpu.render.intersect import Hit
+
+    n = o.shape[0]
+    c = meta.cluster_size
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    floor_v = (
+        jnp.broadcast_to(jnp.asarray(floor, jnp.float32), (n,))
+        if floor is not None
+        else jnp.zeros((n,), jnp.float32)
+    )
+    o_s, d_s, t_s, floor_s, inv = _pad_sorted(
+        scene, o, d, t_max_v, floor_v, block
+    )
+    np_ = o_s.shape[0]
+    n_blocks = np_ // block
+    neg1 = lax.bitcast_convert_type(
+        jnp.full((np_, 1), -1, jnp.int32), jnp.float32
+    )
+    res0 = jnp.concatenate(
+        [t_s[:, None], jnp.zeros((np_, 3), jnp.float32), neg1,
+         jnp.zeros((np_, 3), jnp.float32)],
+        axis=1,
+    )
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        res, w_key, act, rnd = st
+        return jnp.any(act) & (rnd < max_rounds)
+
+    def body(st):
+        res, w_key, act, rnd = st
+        rays = jnp.concatenate(
+            [o_s, d_s, res[:, 0:1], floor_s[:, None]], axis=1
+        )
+        ids, bound_key, n_live = select_clusters_pallas(
+            rays, scene.clus_box, w_key,
+            act.astype(jnp.int32), block, k, t_min, interpret,
+        )
+        idx = jnp.clip(slot, 0, jnp.maximum(n_live - 1, 0)[:, None])
+        dma = jnp.maximum(jnp.take_along_axis(ids, idx, axis=1), 0)
+        live = (slot < n_live[:, None]) & act[:, None]
+        first = scene.clus_first[dma.reshape(-1)]
+        out = test_clusters_pallas(
+            rays, scene.clus_pack, live.reshape(-1).astype(jnp.int32),
+            first, dma.reshape(-1), c, k, t_min, interpret,
+        )
+        upd = lax.bitcast_convert_type(out[:, 4], jnp.int32) >= 0
+        res = jnp.where(upd[:, None], out, res)
+
+        no_drop = bound_key == KEY_DEAD
+        bound_e = jnp.where(
+            no_drop,
+            _BIG,
+            lax.bitcast_convert_type(bound_key & ~ID_MASK, jnp.float32),
+        )
+        t_blk = res[:, 0].reshape(n_blocks, block)
+        ray_done = t_blk <= bound_e[:, None]
+        if nee:
+            hit_blk = (
+                lax.bitcast_convert_type(res[:, 4], jnp.int32) >= 0
+            ).reshape(n_blocks, block)
+            ray_done = ray_done | hit_blk
+        blk_done = no_drop | jnp.all(ray_done, axis=1)
+        return (res, bound_key, act & ~blk_done, rnd + 1)
+
+    res, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (res0, jnp.full((n_blocks,), _WKEY0, jnp.int32),
+         jnp.ones((n_blocks,), bool), jnp.asarray(0, jnp.int32)),
+    )
+    res = res[inv]
+    tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
+    return Hit(
+        res[:, 0], tri, res[:, 1], res[:, 2], res[:, 3] > 0.5,
+        jnp.ones((n, 3), jnp.float32), tri >= 0,
+    )
+
+
+def _hit_gates(scene, meta, h, d, nee, alpha_seed):
+    """Evaluate per-hit gates for single hits (same math as the leaf tester,
+    render/intersect.py:128-206, at L=1 with direct gathers).
+
+    Returns (alpha_ok, transparent, factor[N,3])."""
+    from yart_tpu.render.texture import sample_stack
+
+    n = h.t.shape[0]
+    tri_c = jnp.clip(h.tri, 0, scene.tri_v.shape[0] - 1)
+    mats = lax.bitcast_convert_type(
+        scene.tri_pack[tri_c, 9], jnp.int32
+    )
+    srow = scene.shade_pack[tri_c]  # [N, 32]
+    w_b = (1.0 - h.u - h.v)[:, None]
+    uv = (
+        w_b * srow[:, 9:11]
+        + h.u[:, None] * srow[:, 11:13]
+        + h.v[:, None] * srow[:, 13:15]
+    )
+
+    alpha_ok = jnp.ones((n,), bool)
+    if meta.any_alpha:
+        tb = scene.materials.tex_base[mats]
+        has_a = scene.materials.has_alpha[mats] & (tb >= 0)
+        a_tex = sample_stack(scene.tex_rgba, tb, uv)[:, 3]
+        alpha = jnp.where(has_a, a_tex, 1.0)
+        u_a = u32_to_unit_float(
+            mix32(
+                alpha_seed
+                ^ h.tri.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            )
+        )
+        alpha_ok = (alpha >= 1.0) | (u_a <= alpha)
+
+    transparent = jnp.zeros((n,), bool)
+    factor = jnp.ones((n, 3), jnp.float32)
+    if nee and meta.any_transparent:
+        thin = scene.materials.thin[mats]
+        trans = scene.materials.transmission[mats]
+        transparent = thin & (trans > 0.0)
+        n_interp = (
+            w_b * srow[:, 0:3]
+            + h.u[:, None] * srow[:, 3:6]
+            + h.v[:, None] * srow[:, 6:9]
+        )
+        base = scene.materials.base_color[mats, :3]
+        if meta.any_textures:
+            tb2 = scene.materials.tex_base[mats]
+            b_tex = sample_stack(scene.tex_rgba, tb2, uv)[:, :3]
+            base = jnp.where((tb2 >= 0)[:, None], base * b_tex * b_tex, base)
+        cosd = jnp.abs(jnp.sum(n_interp * d, axis=-1, keepdims=True))
+        factor = cosd * base
+    return alpha_ok, transparent, factor
+
+
+def intersect_blocktrace_gated(
+    scene,
+    meta,
+    o,
+    d,
+    t_max,
+    t_min: float = 1e-3,
+    nee: bool = False,
+    alpha_seed=None,
+    atten=None,
+    block: int = 256,
+    k: int = 24,
+    max_casts: int = 32,
+    interpret: bool = False,
+):
+    """Block-trace with per-hit gates: stochastic alpha and (for NEE)
+    transparent-shadow attenuation, via iterative re-casting. Each cast
+    finds the closest hit past a per-lane floor; gate-rejected lanes
+    advance the floor to that hit and re-cast. The alpha stream is the
+    per-(lane, tri) hash shared with the stack paths, so decisions agree
+    across traversal strategies."""
+    from yart_tpu.render.intersect import Hit
+
+    n = o.shape[0]
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if alpha_seed is None:
+        alpha_seed = jnp.zeros((n,), jnp.uint32)
+    else:
+        alpha_seed = jnp.broadcast_to(alpha_seed, (n,))
+    atten0 = (
+        atten if atten is not None else jnp.ones((n, 3), jnp.float32)
+    )
+
+    zero_hit = Hit(
+        t_max_v, jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), bool), atten0, jnp.zeros((n,), bool),
+    )
+
+    def cond(st):
+        best, act, floor, cast = st
+        return jnp.any(act) & (cast < max_casts)
+
+    def body(st):
+        best, act, floor, cast = st
+        tm = jnp.where(act, t_max_v, -1.0)
+        h = intersect_blocktrace(
+            scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
+            block=block, k=k, interpret=interpret,
+        )
+        hit = h.mask & act
+        alpha_ok, transparent, factor = _hit_gates(
+            scene, meta, h, d, nee, alpha_seed
+        )
+        passthru = hit & (transparent | ~alpha_ok)
+        accept = hit & ~transparent & alpha_ok
+        atten_new = jnp.where(
+            (hit & transparent)[:, None],
+            best.attenuation * factor,
+            best.attenuation,
+        )
+        best = Hit(
+            jnp.where(accept, h.t, best.t),
+            jnp.where(accept, h.tri, best.tri),
+            jnp.where(accept, h.u, best.u),
+            jnp.where(accept, h.v, best.v),
+            jnp.where(accept, h.back_side, best.back_side),
+            atten_new,
+            best.mask | accept,
+        )
+        return (
+            best,
+            act & passthru,
+            jnp.where(passthru, h.t, floor),
+            cast + 1,
+        )
+
+    best, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (zero_hit, jnp.ones((n,), bool), jnp.zeros((n,), jnp.float32),
+         jnp.asarray(0, jnp.int32)),
+    )
+    return best

@@ -890,6 +890,25 @@ def intersect(
             scene, meta, o, d, t_max, t_min=t_min, nee=nee,
             alpha_seed=alpha_seed,
         )
+    # Big scenes: block-trace Pallas pipeline on TPU (render/blocktrace.py;
+    # 12-bit cluster ids cap it at 4096 clusters — beyond that, and on other
+    # backends, fall back to the XLA traversals).
+    from yart_tpu.render.blocktrace import MAX_CLUSTERS
+
+    if meta.n_clusters <= MAX_CLUSTERS and jax.default_backend() == "tpu":
+        from yart_tpu.render.blocktrace import (
+            intersect_blocktrace,
+            intersect_blocktrace_gated,
+        )
+
+        if not gates:
+            return intersect_blocktrace(
+                scene, meta, o, d, t_max, t_min=t_min, nee=nee
+            )
+        return intersect_blocktrace_gated(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
     if not gates:
         from yart_tpu.render.bintrace import intersect_bintrace
 

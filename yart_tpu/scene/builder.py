@@ -400,6 +400,14 @@ class SceneBuilder:
         coarse = build_coarse(cut)
         cut = coarse.cut
         clus_pack = woop_rows(v0, v1, v2, cut, c_size)
+        # Block-trace cluster boxes, SoA lane-padded (render/blocktrace.py).
+        n_clus = int(cut.first.shape[0])
+        n_clus_pad = max(128, -(-n_clus // 128) * 128)
+        clus_box = np.zeros((8, n_clus_pad), np.float32)
+        clus_box[0:3, :] = 1.0  # pad: lo > hi => never entered
+        clus_box[3:6, :] = -1.0
+        clus_box[0:3, :n_clus] = cut.lo.T
+        clus_box[3:6, :n_clus] = cut.hi.T
         wide_pack = np.concatenate(
             [
                 hb8.boxes.reshape(-1, 48),
@@ -451,6 +459,7 @@ class SceneBuilder:
             clus_pack=jnp.asarray(clus_pack),
             clus_first=jnp.asarray(cut.first),
             coarse_pack=jnp.asarray(coarse.wide_pack),
+            clus_box=jnp.asarray(clus_box),
         )
         meta = SceneMeta(
             n_tris=int(tri_v.shape[0]),
@@ -482,6 +491,7 @@ class SceneBuilder:
                 m.anisotropic != 0.0 for m in self._materials
             ),
             n_clusters=int(cut.first.shape[0]),
+            n_clus_pad=n_clus_pad,
             cluster_size=c_size,
             coarse_depth=coarse.depth,
             coarse_max_leaf=coarse.max_leaf,

@@ -145,6 +145,10 @@ class CompiledScene(NamedTuple):
     clus_pack: jnp.ndarray  # [n_clus, 8, 3C] matmul-MT triangle rows
     clus_first: jnp.ndarray  # [n_clus] i32 first triangle of each cluster
     coarse_pack: jnp.ndarray  # [Gc, 56] coarse BVH8 over cluster AABBs
+    # Block-trace pipeline (render/blocktrace.py): cluster AABBs in SoA
+    # rows (lo.xyz, hi.xyz, 2 pad), lane-padded; pad clusters are inverted
+    # boxes that no ray can enter.
+    clus_box: jnp.ndarray  # [8, n_clus_pad] f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,3 +180,4 @@ class SceneMeta:
     coarse_depth: int = 1  # coarse wide-tree depth (stack bound = 7 * depth)
     coarse_max_leaf: int = 2  # max clusters per coarse leaf
     bintrace_k: int = 12  # K: cluster slots per ray per round
+    n_clus_pad: int = 128  # clus_box lane padding (multiple of 128)
