@@ -81,51 +81,60 @@ def _entry_chunk(o, d, t_cur, floor, lo, hi, t_min: float):
 
 
 def _select_kernel(k: int, t_min: float, chunk: int,
-                   wkey_ref, act_ref, rays_ref, boxes_ref,
-                   ids_ref, meta_ref):
+                   wkey_ref, act_ref, rays_ref, boxes_ref, out_ref):
     b = pl.program_id(0)
     cpad = boxes_ref.shape[1]
-    rays = rays_ref[...]
-    o, d, t_cur, floor = _ray_cols(rays)
-    w_key = wkey_ref[b]
-    active = act_ref[b] != 0
-
-    # Per-cluster packed key = blockwise-min entry, quantized, with the
-    # cluster id in the low bits; DEAD where no ray enters the box or the
-    # key falls below the window.
-    keys = []
-    for j in range(cpad // chunk):
-        sl = pl.dslice(j * chunk, chunk)
-        lo = [boxes_ref[a : a + 1, sl] for a in range(3)]
-        hi = [boxes_ref[a + 3 : a + 4, sl] for a in range(3)]
-        e = _entry_chunk(o, d, t_cur, floor, lo, hi, t_min)
-        emin = jnp.min(e, axis=0, keepdims=True)  # [1, CH]
-        bits = lax.bitcast_convert_type(emin, jnp.int32)
-        cid = j * chunk + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        key = (bits & ~ID_MASK) | cid
-        key = jnp.where(
-            (emin < F32_MAX) & (key >= w_key) & active, key, KEY_DEAD
-        )
-        keys.append(key)
-    key_row = jnp.concatenate(keys, axis=1) if len(keys) > 1 else keys[0]
-
     lane = lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    ids_row = jnp.full((1, LANE), -1, jnp.int32)
-    n_live = jnp.int32(0)
-    for s in range(k):
-        m = jnp.min(key_row)
-        got = m != KEY_DEAD
-        ids_row = jnp.where(
-            (lane == s) & got, m & ID_MASK, ids_row
-        )
-        n_live = n_live + got.astype(jnp.int32)
-        key_row = jnp.where(key_row == m, KEY_DEAD, key_row)
 
-    bound_key = jnp.min(key_row)  # lexmin of everything dropped
-    ids_ref[...] = ids_row
-    meta_ref[...] = jnp.where(
-        lane == 0, bound_key, jnp.where(lane == 1, n_live, 0)
-    )
+    # Converged blocks skip the sweep entirely (late continuation rounds
+    # are mostly inactive blocks); their output says "no candidates":
+    # ids all -1, bound_key = KEY_DEAD (nothing dropped), n_live = 0.
+    out_ref[0, 0] = jnp.full((LANE,), -1, jnp.int32)
+    out_ref[0, 1] = jnp.where(lane == 0, KEY_DEAD, 0)[0]
+
+    @pl.when(act_ref[b] != 0)
+    def _():
+        rays = rays_ref[...]
+        o, d, t_cur, floor = _ray_cols(rays)
+        w_key = wkey_ref[b]
+
+        # Per-cluster packed key = blockwise-min entry, quantized, with the
+        # cluster id in the low bits; DEAD where no ray enters the box or
+        # the key falls below the window.
+        keys = []
+        for j in range(cpad // chunk):
+            sl = pl.dslice(j * chunk, chunk)
+            lo = [boxes_ref[a : a + 1, sl] for a in range(3)]
+            hi = [boxes_ref[a + 3 : a + 4, sl] for a in range(3)]
+            e = _entry_chunk(o, d, t_cur, floor, lo, hi, t_min)
+            emin = jnp.min(e, axis=0, keepdims=True)  # [1, CH]
+            bits = lax.bitcast_convert_type(emin, jnp.int32)
+            cid = j * chunk + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            key = (bits & ~ID_MASK) | cid
+            key = jnp.where(
+                (emin < F32_MAX) & (key >= w_key), key, KEY_DEAD
+            )
+            keys.append(key)
+        key_row = (
+            jnp.concatenate(keys, axis=1) if len(keys) > 1 else keys[0]
+        )
+
+        ids_row = jnp.full((1, LANE), -1, jnp.int32)
+        n_live = jnp.int32(0)
+        for s in range(k):
+            m = jnp.min(key_row)
+            got = m != KEY_DEAD
+            ids_row = jnp.where(
+                (lane == s) & got, m & ID_MASK, ids_row
+            )
+            n_live = n_live + got.astype(jnp.int32)
+            key_row = jnp.where(key_row == m, KEY_DEAD, key_row)
+
+        bound_key = jnp.min(key_row)  # lexmin of everything dropped
+        out_ref[0, 0] = ids_row[0]
+        out_ref[0, 1] = jnp.where(
+            lane == 0, bound_key, jnp.where(lane == 1, n_live, 0)
+        )[0]
 
 
 @functools.partial(
@@ -141,7 +150,8 @@ def select_clusters_pallas(rays, clus_box, w_key, act, block: int, k: int,
     n_blocks = n // block
     assert n % block == 0 and k <= LANE
     cpad = clus_box.shape[1]
-    chunk = min(cpad, 512)
+    chunk = 512 if cpad % 512 == 0 else 128
+    chunk = min(cpad, chunk)
     assert cpad % chunk == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -153,21 +163,18 @@ def select_clusters_pallas(rays, clus_box, w_key, act, block: int, k: int,
             pl.BlockSpec((8, cpad), lambda b, wk, ac: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, LANE), lambda b, wk, ac: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda b, wk, ac: (b, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, LANE), lambda b, wk, ac: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
-    i32 = jax.ShapeDtypeStruct((n_blocks, LANE), jnp.int32)
-    ids, meta = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_select_kernel, k, t_min, chunk),
         grid_spec=grid_spec,
-        out_shape=(i32, i32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, LANE), jnp.int32),
         interpret=interpret,
     )(w_key, act, rays, clus_box)
-    return ids[:, :k], meta[:, 0], meta[:, 1]
+    return out[:, 0, :k], out[:, 1, 0], out[:, 1, 1]
 
 
 def _test_kernel(c: int, k: int, t_min: float,

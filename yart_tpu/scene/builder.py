@@ -402,7 +402,7 @@ class SceneBuilder:
         clus_pack = woop_rows(v0, v1, v2, cut, c_size)
         # Block-trace cluster boxes, SoA lane-padded (render/blocktrace.py).
         n_clus = int(cut.first.shape[0])
-        n_clus_pad = max(128, -(-n_clus // 128) * 128)
+        n_clus_pad = max(128, -(-n_clus // 512) * 512 if n_clus > 128 else 128)
         clus_box = np.zeros((8, n_clus_pad), np.float32)
         clus_box[0:3, :] = 1.0  # pad: lo > hi => never entered
         clus_box[3:6, :] = -1.0
