@@ -53,13 +53,15 @@ def bench_bigscene(results):
     for name, coherent in (("bigscene_closest_hit", False),
                            ("bigscene_coherent", True)):
         o_np, d_np = make_rays(lanes, coherent)
-        o, d = jnp.asarray(o_np), jnp.asarray(d_np)
-        hit = fn(scene, o, d)
+        # Distinct inputs per rep (identical re-dispatches can be elided).
+        os_ = [jnp.asarray(o_np + np.float32(1e-5 * r)) for r in range(5)]
+        d = jnp.asarray(d_np)
+        hit = fn(scene, os_[0], d)
         hit.t.block_until_ready()
         reps = 5
         t0 = time.time()
-        for _ in range(reps):
-            hit = fn(scene, o, d)
+        for r in range(reps):
+            hit = fn(scene, os_[r], d)
             hit.t.block_until_ready()
         results[name] = lanes * reps / (time.time() - t0) / 1e6
 
@@ -90,20 +92,25 @@ def bench_cornell(results):
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
     py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
-    sidx = jnp.asarray(np.tile(np.arange(spp), h * w), jnp.uint32)
+    # Distinct inputs per rep (identical re-dispatches can be elided);
+    # rolled assignments keep every sample index within [0, spp).
+    sidxs = [
+        jnp.asarray(np.roll(np.tile(np.arange(spp), h * w), r), jnp.uint32)
+        for r in range(4)
+    ]
 
     fn = jax.jit(
         lambda scene, px, py, sidx: render_wave(
             scene, meta, cam, sampler, cfg, px, py, sidx
         )
     )
-    radiance, rays = fn(scene, px, py, sidx)
+    radiance, rays = fn(scene, px, py, sidxs[0])
     radiance.block_until_ready()
     t0 = time.time()
     reps = 3
     total = 0.0
-    for _ in range(reps):
-        radiance, rays = fn(scene, px, py, sidx)
+    for r in range(reps):
+        radiance, rays = fn(scene, px, py, sidxs[1 + r])
         radiance.block_until_ready()
         total += float(rays)
     results["cornell_mis"] = total / (time.time() - t0) / 1e6
@@ -123,12 +130,14 @@ def bench_cornell(results):
         return jnp.mean(radiance), rays
 
     gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
-    (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidx)
+    (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidxs[0])
     jtu.tree_map(lambda a: a.block_until_ready(), g)
     t0 = time.time()
     total = 0.0
-    for _ in range(reps):
-        (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidx)
+    for r in range(reps):
+        (val, rays), g = gfn(
+            scene.materials.base_color, scene, px, py, sidxs[1 + r]
+        )
         jtu.tree_map(lambda a: a.block_until_ready(), g)
         total += float(rays)
     results["cornell_fwdbwd"] = total / (time.time() - t0) / 1e6

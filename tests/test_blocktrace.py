@@ -45,9 +45,12 @@ def _check_match(hb, hr, t_max=100.0):
     )
 
 
-def test_closest_hit_vs_brute(scene_rays):
+@pytest.mark.parametrize("fused", [True, False])
+def test_closest_hit_vs_brute(scene_rays, fused):
     scene, meta, o, d = scene_rays
-    hb = intersect_blocktrace(scene, meta, o, d, 100.0, interpret=True)
+    hb = intersect_blocktrace(
+        scene, meta, o, d, 100.0, fused=fused, interpret=True
+    )
     hr = intersect_brute(scene, meta, o, d, 100.0)
     _check_match(hb, hr)
 
@@ -56,21 +59,56 @@ def test_window_overflow_small_k(scene_rays):
     """k=2 forces many continuation-window rounds; results are identical."""
     scene, meta, o, d = scene_rays
     hb = intersect_blocktrace(
-        scene, meta, o, d, 100.0, k=2, max_rounds=512, interpret=True
+        scene, meta, o, d, 100.0, k=2, max_rounds=512, fused=False,
+        interpret=True,
     )
     hr = intersect_brute(scene, meta, o, d, 100.0)
     _check_match(hb, hr)
 
 
-def test_nee_any_hit(scene_rays):
+@pytest.mark.parametrize("fused", [True, False])
+def test_nee_any_hit(scene_rays, fused):
     scene, meta, o, d = scene_rays
     hb = intersect_blocktrace(
-        scene, meta, o, d, 8.0, nee=True, interpret=True
+        scene, meta, o, d, 8.0, nee=True, fused=fused, interpret=True
     )
     hr = intersect_brute(scene, meta, o, d, 8.0, nee=True)
     np.testing.assert_array_equal(
         np.asarray(hb.mask), np.asarray(hr.mask)
     )
+
+
+def test_fused_variants_agree(scene_rays):
+    """The fused kernel's four lowering variants (pack VMEM-resident vs
+    DMA-streamed, MXU vs broadcast projections) give identical hits."""
+    import jax.numpy as jnp
+
+    from yart_tpu.kernels.pallas_fusedtrace import fused_trace_pallas
+
+    scene, meta, o, d = scene_rays
+    n = 2048
+    rays = jnp.concatenate(
+        [o, d, jnp.full((n, 1), 100.0), jnp.zeros((n, 1))], axis=1
+    )
+    outs = {}
+    for pv in (True, False):
+        for mx in (True, False):
+            outs[(pv, mx)] = np.asarray(
+                fused_trace_pallas(
+                    rays, scene.clus_box, scene.clus_pack, 256,
+                    meta.cluster_size, 1e-3, pack_vmem=pv, mxu_test=mx,
+                    interpret=True,
+                )
+            )
+    ref = outs[(True, False)]
+    for key, got in outs.items():
+        np.testing.assert_allclose(
+            got[:, 0], ref[:, 0], rtol=2e-5, atol=2e-5, err_msg=str(key)
+        )
+        same_tri = (
+            got[:, 4].view(np.int32) == ref[:, 4].view(np.int32)
+        ).mean()
+        assert same_tri >= 0.999, (key, same_tri)
 
 
 def test_lane_count_not_block_multiple(scene_rays):
@@ -81,13 +119,16 @@ def test_lane_count_not_block_multiple(scene_rays):
     _check_match(hb, hr)
 
 
-def test_floor_recast(scene_rays):
+@pytest.mark.parametrize("fused", [True, False])
+def test_floor_recast(scene_rays, fused):
     """Casting again with floor = first hit t yields strictly farther hits
     that match the brute result among t > floor."""
     scene, meta, o, d = scene_rays
-    h1 = intersect_blocktrace(scene, meta, o, d, 100.0, interpret=True)
+    h1 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, fused=fused, interpret=True
+    )
     h2 = intersect_blocktrace(
-        scene, meta, o, d, 100.0, floor=h1.t, interpret=True
+        scene, meta, o, d, 100.0, floor=h1.t, fused=fused, interpret=True
     )
     m1, m2 = np.asarray(h1.mask), np.asarray(h2.mask)
     assert (np.asarray(h2.t)[m2] > np.asarray(h1.t)[m2]).all()

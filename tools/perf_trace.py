@@ -77,29 +77,39 @@ def run(mode: str, lanes: int, n_spheres: int, cluster_size: int, k: int):
     )
 
     fns = {}
-    if mode in ("bintrace", "both"):
+    if mode in ("bintrace", "both", "all"):
         fns["bintrace"] = jax.jit(
             lambda s, o, d: intersect_bintrace(s, meta, o, d, 100.0, k=k)
         )
-    if mode in ("bvh8", "both"):
+    if mode in ("bvh8", "both", "all"):
         fns["bvh8"] = jax.jit(
             lambda s, o, d: intersect_bvh_sorted(s, meta, o, d, 100.0)
+        )
+    if mode in ("fused", "all"):
+        from yart_tpu.render.blocktrace import intersect_blocktrace
+
+        fns["fused"] = jax.jit(
+            lambda s, o, d: intersect_blocktrace(
+                s, meta, o, d, 100.0, fused=True
+            )
         )
 
     results = {}
     for coherent in (False, True):
         o_np, d_np = make_rays(lanes, coherent)
-        o = jnp.asarray(o_np)
+        # Distinct inputs per rep: the axon runtime can elide re-dispatch
+        # of an identical (executable, args) pair, fabricating timings.
+        os_ = [jnp.asarray(o_np + np.float32(1e-5 * r)) for r in range(5)]
         d = jnp.asarray(d_np)
         for name, fn in fns.items():
             t0 = time.time()
-            hit = fn(scene, o, d)
+            hit = fn(scene, os_[0], d)
             hit.t.block_until_ready()
             compile_s = time.time() - t0
             reps = 5
             t0 = time.time()
-            for _ in range(reps):
-                hit = fn(scene, o, d)
+            for r in range(reps):
+                hit = fn(scene, os_[r], d)
                 hit.t.block_until_ready()
             dt = (time.time() - t0) / reps
             mrays = lanes / dt / 1e6
@@ -116,7 +126,11 @@ def run(mode: str, lanes: int, n_spheres: int, cluster_size: int, k: int):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="bintrace", choices=["bintrace", "bvh8", "both"])
+    ap.add_argument(
+        "--mode",
+        default="fused",
+        choices=["bintrace", "bvh8", "both", "fused", "all"],
+    )
     ap.add_argument("--lanes", type=int, default=524288)
     ap.add_argument("--spheres", type=int, default=60)
     ap.add_argument("--cluster-size", type=int, default=128)

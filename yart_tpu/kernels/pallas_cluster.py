@@ -35,15 +35,15 @@ EPS_DET = 1e-12
 F32_MAX = 3.0e38  # python float: jnp scalars become captured consts in pallas
 
 
-def _pair_test(o, d, tmax, tri, c: int, t_min: float):
+def _pair_test(o, d, tmax, tri, c: int, t_min: float, floor=None):
     """Shared math: o,d [B,3], tmax [B,1], tri [8, 3C] -> per-pair best
-    (t, u, v, back, col, anyv) with t == F32_MAX on miss.
+    (t, u, v, back, col, anyv) with t == F32_MAX on miss. `floor` [B,1]
+    optionally rejects hits at t <= floor (gated re-cast contract).
 
     The six ray.(n|eu|ev) dot products are written as broadcast FMAs
     ([B,1] x [1,3C]) rather than [B,3]x[3,3C] matmuls: K=3 contractions
     need sublane-major relayouts on Mosaic, while lane/sublane broadcasts
     map straight onto the VPU."""
-    consts = tri[3, :][None, :]  # [1, 3C]
     ro = (
         o[:, 0:1] * tri[0, :][None, :]
         + o[:, 1:2] * tri[1, :][None, :]
@@ -54,6 +54,26 @@ def _pair_test(o, d, tmax, tri, c: int, t_min: float):
         + d[:, 1:2] * tri[1, :][None, :]
         + d[:, 2:3] * tri[2, :][None, :]
     )
+    return _pair_test_from_proj(ro, rd, tmax, tri, c, t_min, floor)
+
+
+def _pair_test_mxu(o3t, d3t, tmax, tri, c: int, t_min: float, floor=None):
+    """_pair_test with the projections as MXU contractions: o3t/d3t are
+    the rays SoA-transposed [3, B], so the K=3 contraction runs over the
+    sublane dim with no relayout (stationary [3,3C] operand). HIGHEST
+    precision keeps the result within f32 rounding of the FMA form."""
+    dot = lambda l: lax.dot_general(
+        l, tri[0:3, :], (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return _pair_test_from_proj(dot(o3t), dot(d3t), tmax, tri, c, t_min,
+                                floor)
+
+
+def _pair_test_from_proj(ro, rd, tmax, tri, c: int, t_min: float,
+                         floor=None):
+    consts = tri[3, :][None, :]  # [1, 3C]
     no, uo, vo = ro[:, :c], ro[:, c : 2 * c], ro[:, 2 * c :]
     nd, ud, vd = rd[:, :c], rd[:, c : 2 * c], rd[:, 2 * c :]
     cn, cu, cv = consts[:, :c], consts[:, c : 2 * c], consts[:, 2 * c :]
@@ -70,6 +90,8 @@ def _pair_test(o, d, tmax, tri, c: int, t_min: float):
         & (t > t_min)
         & (t < tmax)
     )
+    if floor is not None:
+        valid = valid & (t > floor)
     tbig = jnp.where(valid, t, F32_MAX)
     bt = jnp.min(tbig, axis=1)  # [B]
     anyv = bt < F32_MAX

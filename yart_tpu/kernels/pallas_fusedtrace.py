@@ -1,0 +1,404 @@
+"""Fused one-pass block traversal: sweep + nearest-first test in ONE kernel.
+
+The round-based block-trace (pallas_blocktrace.py) pays three structural
+costs the TPU profile exposed: a fixed ~4us grid-step cost per (block, slot)
+pair in the test kernel (dead slots included), a full re-sweep of every
+cluster box each continuation round, and a host-level while_loop round trip.
+This kernel removes all three by doing the whole traversal for a ray block
+in a single grid step, in three stages:
+
+  1. sweep    every cluster AABB against the block's B rays once, as six
+              rank-2 MXU contractions ([B,2] x [2,cpad]): the slab bound
+              x = lo*inv_d - o*inv_d is linear in (inv_d, o*inv_d), so the
+              per-axis lo/hi planes are dot_generals instead of
+              [B,1]x[1,CH] VPU lane-broadcasts. Reduce to one packed
+              (entry | cluster id) key per live cluster.
+  2. t-loop   lax.while_loop in nearest-entry order: read the candidate
+              cluster's prepacked [8, 3C] operand (VMEM-resident pack, or
+              double-buffered HBM DMA for packs over VMEM_PACK_BYTES),
+              compute only the per-ray closest VALID t for that cluster
+              (one lane-reduction), and carry exact (t_bits, winning
+              cluster id) per ray. The block retires exactly when the next
+              entry bound can no longer beat any ray's current t. The
+              expensive argmin/attribute extraction is NOT done here — a
+              round-2 profile showed the per-iteration argmin/take chain
+              (~10 lane-reductions) dominating the whole traversal.
+  3. winners  a second short loop over the block's DISTINCT winning
+              clusters (typically ~10-30 vs hundreds of candidates):
+              re-test each with the full epilogue (u, v, backface,
+              triangle argmin) and keep the exact closest hit. Phase 2
+              tests every cluster some ray won, so each ray's final hit
+              is bit-identical to testing everything with the full
+              epilogue.
+
+Reference contract: closest hit / NEE early-out of
+src/cpu/ray-integrator.cpp:84-229; the traversal order differs (cluster
+nearest-first per ray block instead of a per-ray node stack) but the result
+is the exact same closest hit, which tests/test_blocktrace.py asserts
+against the brute oracle.
+
+Conservativeness: MXU f32 contractions run at HIGHEST precision and the
+entry/exit bounds get a 1e-6 relative margin in the safe direction, so box
+culling only ever over-includes (the exact per-triangle test decides every
+hit); the packed key clears ID_BITS low mantissa bits, which only lowers
+the entry used for the termination bound. The phase-1 t carry is EXACT
+(two i32 words per ray), so no quantization can pick the wrong winner.
+
+Diagnostics: out lane 0 col 5 carries the phase-1 trip count, col 6 the
+phase-2 winner count, per block (tools/perf_trace.py uses them to tune
+block size).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from yart_tpu.kernels.pallas_blocktrace import ID_MASK, KEY_DEAD
+from yart_tpu.kernels.pallas_cluster import (
+    EPS_DET,
+    F32_MAX,
+    _pair_test,
+    _pair_test_mxu,
+)
+
+MAX_ITERS = 4096  # safety cap == max clusters (ID_BITS)
+
+# Cluster packs up to this size stay VMEM-resident for the whole grid
+# (dynamic-slice reads instead of per-iteration DMAs); bigger scenes
+# stream clusters from HBM with double-buffered copies.
+VMEM_PACK_BYTES = 64 << 20
+
+
+def _proj(o, d, tri, mxu: bool):
+    """Ray.(n|eu|ev) projections [B, 3C]. `o`/`d` are [B,3] (broadcast
+    form) or [3,B] (MXU form, rays SoA-transposed)."""
+    if mxu:
+        dot = lambda l: lax.dot_general(
+            l, tri[0:3, :], (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return dot(o), dot(d)
+    ro = (
+        o[:, 0:1] * tri[0, :][None, :]
+        + o[:, 1:2] * tri[1, :][None, :]
+        + o[:, 2:3] * tri[2, :][None, :]
+    )
+    rd = (
+        d[:, 0:1] * tri[0, :][None, :]
+        + d[:, 1:2] * tri[1, :][None, :]
+        + d[:, 2:3] * tri[2, :][None, :]
+    )
+    return ro, rd
+
+
+def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
+    """Closest VALID t of the cluster per ray: [B,1], F32_MAX on miss."""
+    consts = tri[3, :][None, :]
+    no, uo, vo = ro[:, :c], ro[:, c : 2 * c], ro[:, 2 * c :]
+    nd, ud, vd = rd[:, :c], rd[:, c : 2 * c], rd[:, 2 * c :]
+    cn, cu, cv = consts[:, :c], consts[:, c : 2 * c], consts[:, 2 * c :]
+    t = (cn - no) / nd
+    u = uo + t * ud - cu
+    v = vo + t * vd - cv
+    valid = (
+        (jnp.abs(nd) >= EPS_DET)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < tmax) & (t > floor)
+    )
+    return jnp.min(jnp.where(valid, t, F32_MAX), axis=1, keepdims=True)
+
+
+def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
+                  pack_vmem: bool, mxu_test: bool, kbatch: int,
+                  rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
+                  *scratch):
+    block = rays_ref.shape[0]
+    cpad = boxes_ref.shape[1]
+
+    rays = rays_ref[...]
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    t0 = rays[:, 6:7]
+    floor = rays[:, 7:8]
+    if mxu_test:
+        rt = rays_t_ref[...]
+        po, pd = rt[0:3, :], rt[3:6, :]
+    else:
+        po, pd = o, d
+
+    # --- stage 1: sweep all cluster boxes, MXU outer-product form ---
+    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    ia = 1.0 / safe          # [B, 3]
+    oia = o * ia             # [B, 3]
+    neg1 = jnp.full((1, cpad), -1.0, jnp.float32)
+    ent = None
+    ext = None
+    for a in range(3):
+        lhs = jnp.concatenate([ia[:, a : a + 1], oia[:, a : a + 1]], axis=1)
+        rlo = jnp.concatenate([boxes_ref[a : a + 1, :], neg1], axis=0)
+        rhi = jnp.concatenate([boxes_ref[a + 3 : a + 4, :], neg1], axis=0)
+        dot = lambda r: lax.dot_general(
+            lhs, r, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        x0 = dot(rlo)
+        x1 = dot(rhi)
+        a0 = jnp.minimum(x0, x1)
+        a1 = jnp.maximum(x0, x1)
+        ent = a0 if ent is None else jnp.maximum(ent, a0)
+        ext = a1 if ext is None else jnp.minimum(ext, a1)
+    # Margins in the safe (over-inclusive) direction; entries are >= 0.
+    e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
+    xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
+    hit = (xt >= e) & (e < t0) & (xt > floor)  # [B, cpad]
+    emin = jnp.min(jnp.where(hit, e, F32_MAX), axis=0, keepdims=True)
+    bits = lax.bitcast_convert_type(emin, jnp.int32)
+    cid_iota = lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+    # The pad-id mask guards the cluster fetch: an out-of-range read is
+    # undefined behavior on hardware (the builder's far-box pad sentinel
+    # already culls these, this is the hard guarantee).
+    key_row = jnp.where(
+        (emin < F32_MAX) & (cid_iota < n_clus),
+        (bits & ~ID_MASK) | cid_iota,
+        KEY_DEAD,
+    )
+
+    if not pack_vmem:
+        buf_ref, sem_ref = scratch
+
+        def dma(slot, cid):
+            return pltpu.make_async_copy(
+                pack_ref.at[cid], buf_ref.at[slot], sem_ref.at[slot]
+            )
+
+    # --- stage 2: nearest-first t-loop (exact t + winning cid per ray) ---
+    t_bits0 = lax.bitcast_convert_type(t0, jnp.int32)  # [B,1]
+    cid0 = jnp.full((block, 1), -1, jnp.int32)
+    m0 = jnp.min(key_row)
+
+    if not pack_vmem:
+
+        @pl.when(m0 != KEY_DEAD)
+        def _():
+            dma(0, m0 & ID_MASK).start()
+
+    def improvable(m, t_bits, cid_best):
+        # Int-domain compare (Mosaic has no scalar bitcast): positive f32
+        # bit patterns are order-isomorphic, entries are >= t_min > 0, and
+        # dead padded lanes carry t = -1.0 whose bits are negative.
+        live = t_bits > (m & ~ID_MASK)
+        if nee:
+            live = live & (cid_best < 0)
+        return jnp.any(live)
+
+    def cond(st):
+        i, m, key_row, t_bits, cid_best = st
+        return (m != KEY_DEAD) & (i < MAX_ITERS) & improvable(
+            m, t_bits, cid_best
+        )
+
+    def body(st):
+        i, m, key_row, t_bits, cid_best = st
+        if not pack_vmem:
+            # DMA mode: one cluster per iteration, double-buffered.
+            cid = m & ID_MASK
+            key2 = jnp.where(key_row == m, KEY_DEAD, key_row)
+            m2 = jnp.min(key2)
+
+            @pl.when(m2 != KEY_DEAD)
+            def _():
+                dma((i + 1) % 2, m2 & ID_MASK).start()
+
+            dma(i % 2, cid).wait()
+            tri = buf_ref[i % 2]
+            t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
+            ro, rd = _proj(po, pd, tri, mxu_test)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            upd = bt < t_best
+            t_bits = jnp.where(
+                upd, lax.bitcast_convert_type(bt, jnp.int32), t_bits
+            )
+            cid_best = jnp.where(upd, cid, cid_best)
+            return (i + 1, m2, key2, t_bits, cid_best)
+
+        # VMEM mode: extract a batch of K nearest keys at once (amortizes
+        # the vector->scalar sync of the min-extraction), test the K
+        # clusters against the PRE-BATCH t bound so the [B,C] work per
+        # unit is independent (pipelines), then fold the K results.
+        ms = []
+        cur, row = m, key_row
+        for _ in range(kbatch):
+            ms.append(cur)
+            row = jnp.where(row == cur, KEY_DEAD, row)
+            cur = jnp.min(row)
+        t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
+        for mk in ms:
+            # Dead tail slots read cluster 0 harmlessly; their t folds
+            # to F32_MAX. (mk & ID_MASK of KEY_DEAD is 0xFFF -> clamp.)
+            cid = jnp.minimum(mk & ID_MASK, n_clus - 1)
+            tri = pack_ref[cid]
+            ro, rd = _proj(po, pd, tri, mxu_test)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            bt = jnp.where(mk != KEY_DEAD, bt, F32_MAX)
+            t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
+            upd = bt < t_cur
+            t_bits = jnp.where(
+                upd, lax.bitcast_convert_type(bt, jnp.int32), t_bits
+            )
+            cid_best = jnp.where(upd, mk & ID_MASK, cid_best)
+        return (i + 1, cur, row, t_bits, cid_best)
+
+    n_it, _, _, _, cid_best = lax.while_loop(
+        cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
+    )
+
+    # --- stage 3: re-test the distinct winning clusters, full epilogue ---
+    win_row = jnp.any(cid_best == cid_iota, axis=0, keepdims=True)
+    wkey_row = jnp.where(win_row, cid_iota, KEY_DEAD)
+
+    neg1f = lax.bitcast_convert_type(
+        jnp.full((block, 1), -1, jnp.int32), jnp.float32
+    )
+    best0 = jnp.concatenate(
+        [t0, jnp.zeros((block, 3), jnp.float32), neg1f,
+         jnp.zeros((block, 3), jnp.float32)],
+        axis=1,
+    )
+    w0 = jnp.min(wkey_row)
+
+    if not pack_vmem:
+
+        @pl.when(w0 != KEY_DEAD)
+        def _():
+            dma(0, w0).start()
+
+    def wcond(st):
+        j, w, wkey_row, best = st
+        return w != KEY_DEAD
+
+    def wbody(st):
+        j, w, wkey_row, best = st
+        wkey2 = jnp.where(wkey_row == w, KEY_DEAD, wkey_row)
+        w2 = jnp.min(wkey2)
+
+        if pack_vmem:
+            tri = pack_ref[w]
+        else:
+
+            @pl.when(w2 != KEY_DEAD)
+            def _():
+                dma((j + 1) % 2, w2).start()
+
+            dma(j % 2, w).wait()
+            tri = buf_ref[j % 2]
+        t_best = best[:, 0:1]
+        if mxu_test:
+            bt, bu, bv, bb, col, anyv = _pair_test_mxu(
+                po, pd, t_best, tri, c, t_min, floor=floor
+            )
+        else:
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                o, d, t_best, tri, c, t_min, floor=floor
+            )
+        # First-triangle id rides in pack row 4 lane 0 (bitcast i32), so
+        # no dynamic scalar-memory read is needed: broadcast-add a vector.
+        fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)  # [1,1]
+        gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
+        new = jnp.concatenate(
+            [
+                bt[:, None],
+                bu[:, None],
+                bv[:, None],
+                bb.astype(jnp.float32)[:, None],
+                gid,
+                jnp.zeros((block, 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        best = jnp.where(anyv[:, None], new, best)
+        return (j + 1, w2, wkey2, best)
+
+    n_win, _, _, best = lax.while_loop(
+        wcond, wbody, (jnp.int32(0), w0, wkey_row, best0)
+    )
+
+    lanecol = lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    diag5 = jnp.where(lanecol == 0, n_it, 0).astype(jnp.float32)
+    diag6 = jnp.where(lanecol == 0, n_win, 0).astype(jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [best[:, 0:5], diag5, diag6, best[:, 7:8]], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
+        "interpret",
+    ),
+)
+def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
+                       t_min: float, nee: bool = False,
+                       pack_vmem: bool | None = None,
+                       mxu_test: bool = False,
+                       kbatch: int = 8,
+                       interpret: bool = False):
+    """rays [Np, 8] f32 (o3, d3, t_cur, floor), Np a multiple of `block`;
+    clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
+    id bitcast into row 4 lane 0 (scene/clusters.py woop_rows). Returns
+    out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it, win, pad;
+    lanes with no hit keep t == t_cur, tri == -1."""
+    n = rays.shape[0]
+    n_blocks = n // block
+    assert n_blocks * block == n
+    cpad = clus_box.shape[1]
+    if pack_vmem is None:
+        pack_vmem = clus_pack.size * 4 <= VMEM_PACK_BYTES
+    rays_t = rays.T  # SoA view for the MXU projections (cheap relayout)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, 8), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cpad), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                clus_pack.shape, lambda b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            if pack_vmem
+            else pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[]
+        if pack_vmem
+        else [
+            pltpu.VMEM((2,) + clus_pack.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, c, t_min, nee, clus_pack.shape[0],
+            pack_vmem, mxu_test, kbatch,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),
+        interpret=interpret,
+    )(rays, rays_t, clus_box, clus_pack)
+    return out.reshape(n, 8)

@@ -1,15 +1,18 @@
 """Block-trace: coherence-sorted block traversal for big scenes.
 
-The fast path for large-scene intersection on TPU (kernels/
-pallas_blocktrace.py has the design rationale). Rays are sorted by
-(direction octant, origin Morton cell) and cut into blocks of B; per round,
-a *select* kernel scores every cluster AABB against each block and extracts
-the K lexicographically-nearest candidates, and a *test* kernel closest-hit
-tests each (block, slot) pair against the block's rays. Blocks whose
-candidate set overflowed K re-run with a lexicographic window until every
-ray's best hit provably precedes every untested cluster — the same
-continuation-window argument as render/bintrace.py, lifted from per-ray to
-per-block granularity (windows and bounds are block-min packed keys).
+The fast path for large-scene intersection on TPU. Rays are sorted by
+(direction octant, origin Morton cell) and cut into blocks of B. The
+default `fused=True` path runs the whole traversal in ONE Pallas kernel
+per block — box sweep, nearest-first t-loop, winners re-test — see
+kernels/pallas_fusedtrace.py for the staging rationale and measured costs.
+`fused=False` keeps the original round-based pipeline (kernels/
+pallas_blocktrace.py): per round a *select* kernel scores every cluster
+AABB against each block and extracts the K lexicographically-nearest
+candidates, and a *test* kernel closest-hit tests each (block, slot) pair;
+blocks whose candidate set overflowed K re-run with a lexicographic window
+until every ray's best hit provably precedes every untested cluster — the
+same continuation-window argument as render/bintrace.py, lifted from
+per-ray to per-block granularity.
 
 Semantics match the reference's closest-hit / shadow-ray contract
 (src/cpu/ray-integrator.cpp:84-229). Per-hit gates (stochastic alpha, NEE
@@ -77,15 +80,19 @@ def intersect_blocktrace(
     t_min: float = 1e-3,
     nee: bool = False,
     floor=None,
-    block: int = 256,
+    block: int = 128,
     k: int = 24,
     max_rounds: int = 64,
+    fused: bool = True,
     interpret: bool = False,
 ):
     """Closest-hit (or NEE early-out) through the block-trace pipeline.
     `floor` [N] optionally restricts hits to t > floor (used by the gated
     re-cast loop). Exact vs the stack traversals up to the triangle-test
-    formulation (plane/barycentric vs Moller-Trumbore cross products)."""
+    formulation (plane/barycentric vs Moller-Trumbore cross products).
+    `fused=True` (default) runs the whole traversal in one kernel
+    invocation (kernels/pallas_fusedtrace.py); False keeps the round-based
+    select/test pipeline."""
     from yart_tpu.render.intersect import Hit
 
     n = o.shape[0]
@@ -99,6 +106,23 @@ def intersect_blocktrace(
     o_s, d_s, t_s, floor_s, inv = _pad_sorted(
         scene, o, d, t_max_v, floor_v, block
     )
+
+    if fused:
+        from yart_tpu.kernels.pallas_fusedtrace import fused_trace_pallas
+
+        rays = jnp.concatenate(
+            [o_s, d_s, t_s[:, None], floor_s[:, None]], axis=1
+        )
+        res = fused_trace_pallas(
+            rays, scene.clus_box, scene.clus_pack, block, c, t_min,
+            nee=nee, interpret=interpret,
+        )[inv]
+        tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
+        return Hit(
+            res[:, 0], tri, res[:, 1], res[:, 2], res[:, 3] > 0.5,
+            jnp.ones((n, 3), jnp.float32), tri >= 0,
+        )
+
     np_ = o_s.shape[0]
     n_blocks = np_ // block
     neg1 = lax.bitcast_convert_type(
@@ -230,9 +254,10 @@ def intersect_blocktrace_gated(
     nee: bool = False,
     alpha_seed=None,
     atten=None,
-    block: int = 256,
+    block: int = 128,
     k: int = 24,
     max_casts: int = 32,
+    fused: bool = True,
     interpret: bool = False,
 ):
     """Block-trace with per-hit gates: stochastic alpha and (for NEE)
@@ -268,7 +293,7 @@ def intersect_blocktrace_gated(
         tm = jnp.where(act, t_max_v, -1.0)
         h = intersect_blocktrace(
             scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
-            block=block, k=k, interpret=interpret,
+            block=block, k=k, fused=fused, interpret=interpret,
         )
         hit = h.mask & act
         alpha_ok, transparent, factor = _hit_gates(

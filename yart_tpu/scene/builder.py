@@ -404,8 +404,12 @@ class SceneBuilder:
         n_clus = int(cut.first.shape[0])
         n_clus_pad = max(128, -(-n_clus // 512) * 512 if n_clus > 128 else 128)
         clus_box = np.zeros((8, n_clus_pad), np.float32)
-        clus_box[0:3, :] = 1.0  # pad: lo > hi => never entered
-        clus_box[3:6, :] = -1.0
+        # Pad boxes at +BIG: the slab test min/max-normalizes inverted
+        # bounds, so a lo>hi sentinel would become a REAL box around the
+        # origin. A degenerate far box gives entry >= t_cur (or NaN after
+        # margins), so pad ids are never selected for the cluster DMA.
+        clus_box[0:3, :] = 3.0e38
+        clus_box[3:6, :] = 3.0e38
         clus_box[0:3, :n_clus] = cut.lo.T
         clus_box[3:6, :n_clus] = cut.hi.T
         wide_pack = np.concatenate(

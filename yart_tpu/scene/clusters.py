@@ -122,7 +122,8 @@ def woop_rows(v0, v1, v2, cut: ClusterCut, c: int) -> np.ndarray:
 
     Output [n_clus, 8, 3C] f32: rows 0..2 hold component x/y/z of
     [n | eu | ev] over column blocks [0:C | C:2C | 2C:3C]; row 3 holds
-    (cn | cu | cv); rows 4..7 are zero padding (sublane alignment).
+    (cn | cu | cv); row 4 lane 0 holds the cluster's first-triangle id
+    (bitcast i32); rows 5..7 are zero padding (sublane alignment).
     Padding triangles (cluster count < C) get all-zero columns: nd == 0
     makes them unconditionally invalid, same as degenerate triangles in the
     reference test (|det| < epsilon, ray-integrator.cpp:162-229).
@@ -154,4 +155,8 @@ def woop_rows(v0, v1, v2, cut: ClusterCut, c: int) -> np.ndarray:
         pack[ci, 3, 0:cnt] = cn[sl]
         pack[ci, 3, c : c + cnt] = cu[sl]
         pack[ci, 3, 2 * c : 2 * c + cnt] = cv[sl]
+        # First-triangle id bitcast into row 4 lane 0: the fused traversal
+        # kernel (kernels/pallas_fusedtrace.py) reads it back as a vector
+        # so no dynamic scalar-memory lookup is needed per cluster.
+        pack[ci, 4, 0] = np.int32(f).view(np.float32)
     return pack
