@@ -6,7 +6,7 @@ Primary metric: incoherent closest-hit Mrays/s on the 132k-triangle scene —
 the reference's hot contract (src/cpu/ray-integrator.cpp:84-160) at the
 scene scale its flagship configs use (Sponza-class; BASELINE.md). Round 1
 measured 0.51 Mrays/s on the lockstep BVH8 path; round 2 replaces it with
-the bin-trace pipeline (render/bintrace.py).
+the fused one-pass block traversal (kernels/pallas_fusedtrace.py).
 
 Sub-metrics (BENCH_DETAIL.json):
 - bigscene_closest_hit / bigscene_coherent: Mrays/s, 132k tris, 262k rays
@@ -43,12 +43,12 @@ def bench_bigscene(results):
     import jax.numpy as jnp
 
     from perf_trace import build_scene, make_rays
-    from yart_tpu.render.bintrace import intersect_bintrace
+    from yart_tpu.render.blocktrace import intersect_blocktrace
 
     scene, meta = build_scene(60, 128)
     lanes = 262144
     fn = jax.jit(
-        lambda s, o, d: intersect_bintrace(s, meta, o, d, 100.0, k=12)
+        lambda s, o, d: intersect_blocktrace(s, meta, o, d, 100.0)
     )
     for name, coherent in (("bigscene_closest_hit", False),
                            ("bigscene_coherent", True)):
@@ -56,13 +56,16 @@ def bench_bigscene(results):
         # Distinct inputs per rep (identical re-dispatches can be elided).
         os_ = [jnp.asarray(o_np + np.float32(1e-5 * r)) for r in range(5)]
         d = jnp.asarray(d_np)
+        # A small transfer per rep forces completion: on this runtime
+        # block_until_ready() returns before the execution finishes.
+        sync = lambda h: float(jnp.sum(h.t[:8]))
         hit = fn(scene, os_[0], d)
-        hit.t.block_until_ready()
+        sync(hit)
         reps = 5
         t0 = time.time()
         for r in range(reps):
             hit = fn(scene, os_[r], d)
-            hit.t.block_until_ready()
+            sync(hit)
         results[name] = lanes * reps / (time.time() - t0) / 1e6
 
 

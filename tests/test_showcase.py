@@ -1,0 +1,60 @@
+"""Flagship showcase scenes (scene/showcase.py) compile to reference-scale
+scene data: triangle counts, texture atlas population, light registration,
+env sky, and the feature flags that route the renderer through the gated
+big-scene traversal (alpha ivy) and volume/clearcoat BSDF paths."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def atrium_scene():
+    from yart_tpu.scene.showcase import atrium
+
+    return atrium(ivy=True, tex_res=128).compile()
+
+
+def test_atrium_scale_and_features(atrium_scene):
+    scene, meta = atrium_scene
+    assert meta.n_tris > 100_000  # Sponza-class (BASELINE.md flagship)
+    assert meta.has_env  # octahedral sky HDRI
+    assert meta.any_textures
+    assert meta.any_alpha  # ivy routes through the gated traversal
+    assert meta.n_lights >= 0
+    assert scene.tex_rgb.data.size > 0  # atlas is populated
+    # Big-scene dispatch: clusters within the fused-kernel id budget.
+    from yart_tpu.render.blocktrace import MAX_CLUSTERS
+
+    assert 8 < meta.n_clusters <= MAX_CLUSTERS
+
+
+def test_atrium_camera_ray_hits(atrium_scene):
+    """Camera-like rays from the CLI viewpoint actually see geometry (the
+    flagship render is not a void)."""
+    import jax.numpy as jnp
+
+    from yart_tpu.render.intersect import intersect_bvh8
+
+    scene, meta = atrium_scene
+    rng = np.random.default_rng(3)
+    n = 256
+    o = np.tile(np.asarray([[-10.0, 1.8, 0.0]], np.float32), (n, 1))
+    to = np.asarray([8.0, 2.6, 0.0], np.float32) - o
+    d = to + rng.normal(size=(n, 3)).astype(np.float32) * 1.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    h = intersect_bvh8(scene, meta, jnp.asarray(o), jnp.asarray(d), 1e4)
+    assert float(np.asarray(h.mask).mean()) > 0.6
+
+
+def test_roadster_materials():
+    from yart_tpu.scene.showcase import roadster
+
+    scene, meta = roadster().compile()
+    assert meta.n_tris > 10_000
+    m = scene.materials
+    # clearcoat paint, dielectric glass with volume, chrome metal
+    assert float(np.asarray(m.clearcoat).max()) > 0.5
+    assert float(np.asarray(m.transmission).max()) > 0.5
+    assert float(np.asarray(m.volume_density).max()) > 0.0
+    assert float(np.asarray(m.metallic).max()) > 0.9
+    assert meta.has_env

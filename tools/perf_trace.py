@@ -102,15 +102,18 @@ def run(mode: str, lanes: int, n_spheres: int, cluster_size: int, k: int):
         os_ = [jnp.asarray(o_np + np.float32(1e-5 * r)) for r in range(5)]
         d = jnp.asarray(d_np)
         for name, fn in fns.items():
+            # A small transfer per rep forces completion: on this runtime
+            # block_until_ready() returns before the execution finishes.
+            sync = lambda h: float(jnp.sum(h.t[:8]))
             t0 = time.time()
             hit = fn(scene, os_[0], d)
-            hit.t.block_until_ready()
+            sync(hit)
             compile_s = time.time() - t0
             reps = 5
             t0 = time.time()
             for r in range(reps):
                 hit = fn(scene, os_[r], d)
-                hit.t.block_until_ready()
+                sync(hit)
             dt = (time.time() - t0) / reps
             mrays = lanes / dt / 1e6
             frac = float(jnp.mean(hit.mask))
