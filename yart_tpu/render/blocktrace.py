@@ -55,6 +55,10 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block):
     n = o.shape[0]
     pad = (-n) % block
     key = _coherence_key(scene, o, d)
+    # Dead lanes (t_max <= 0: retired wavefront paths, unneeded shadow
+    # rays) sort LAST so they fill whole blocks that exit instantly,
+    # instead of salting live blocks at full per-block cost.
+    key = key | (t_max_v <= 0.0).astype(jnp.uint32) << 25
     order = jnp.argsort(key)
     inv = jnp.argsort(order)
     if pad:

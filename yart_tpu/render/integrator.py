@@ -168,9 +168,14 @@ def li(
         # Fresh alpha-test stream per bounce (the reference draws these from
         # the sampler mid-traversal, ray-integrator.cpp:211).
         bounce_seed = lane_seed ^ (depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        # Retired lanes trace with t_max = -1: every traversal treats them
+        # as instant misses (and the block-trace sort groups them into
+        # all-dead blocks that exit immediately) instead of paying a full
+        # traversal for a result the masking below discards anyway.
+        tmax_lane = jnp.where(st.active, INF, -1.0)
         hit = intersect(
             scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
-            meta, sg(st.o), sg(st.d), INF, t_min=RAY_EPS,
+            meta, sg(st.o), sg(st.d), sg(tmax_lane), t_min=RAY_EPS,
             alpha_seed=bounce_seed,
         )
         if differentiable:

@@ -118,15 +118,14 @@ def sample_light(
     if meta.n_lights > 0:
         if kind == "uniform":
             li = jnp.clip(pick, 0, meta.n_lights - 1)
-            target = None
-        u_area = jnp.where(
-            p_inf < 1.0, (uc - p_inf) / max(1.0 - p_inf, 1e-9), 0.0
-        )
-        target = u_area * scene.light_cdf[-1]
         # findFirst over the power CDF (light-sampler.cpp:71-75) as a
         # broadcast compare-and-sum: batched searchsorted lowers poorly on
         # TPU, and L is small.
         if kind != "uniform":
+            u_area = jnp.where(
+                p_inf < 1.0, (uc - p_inf) / max(1.0 - p_inf, 1e-9), 0.0
+            )
+            target = u_area * scene.light_cdf[-1]
             li = jnp.clip(
                 jnp.sum(
                     (scene.light_cdf[None, 1:] <= target[:, None]).astype(
