@@ -34,22 +34,28 @@ def init_distributed(
     """Initialize jax.distributed; returns True if a multi-process setup was
     detected/initialized. On TPU pods all arguments come from the environment;
     elsewhere pass them explicitly. Safe to call on a single host (no-op)."""
-    if jax.process_count() > 1:
-        return True
-    try:
-        if coordinator_address is None and num_processes is None:
+    # NOTE: jax.process_count() itself initializes the XLA backend, after
+    # which jax.distributed.initialize refuses to run — inspect the
+    # distributed client state instead of touching the backend.
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return jax.process_count() > 1
+    if coordinator_address is None and num_processes is None:
+        try:
             # TPU pod: everything auto-detected from the runtime env.
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        return jax.process_count() > 1
-    except Exception:
-        # Single-host / no cluster env: stay local.
-        return False
+        except Exception:
+            # Single-host / no cluster env: stay local.
+            return False
+    else:
+        # Explicit cluster spec: a failure here is a real error.
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count() > 1
 
 
 def local_lane_slice(n_lanes: int) -> slice:

@@ -48,5 +48,23 @@ def device_put_lanes(mesh: Mesh, *arrays):
 
 
 def device_put_replicated(mesh: Mesh, tree):
-    """Replicate a pytree (the compiled scene, camera params) on every device."""
-    return jax.device_put(tree, replicate(mesh))
+    """Replicate a pytree (the compiled scene, camera params) on every device.
+
+    Under jax.distributed, plain device_put cross-checks values between
+    processes with an equality collective that treats the scene's bitcast
+    NaN sentinels (int -1 ids viewed as f32) as mismatches — so the global
+    array is assembled from per-device copies instead. Scene compilation is
+    bit-deterministic across processes (asserted in tests/test_multihost.py
+    by the image check)."""
+    s = replicate(mesh)
+    if jax.process_count() > 1:
+
+        def put(x):
+            x = np.asarray(x)
+            shards = [jax.device_put(x, d) for d in s.addressable_devices]
+            return jax.make_array_from_single_device_arrays(
+                x.shape, s, shards
+            )
+
+        return jax.tree_util.tree_map(put, tree)
+    return jax.device_put(tree, s)

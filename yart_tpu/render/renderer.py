@@ -111,8 +111,15 @@ class Renderer:
             )
 
             self.mesh = make_mesh(None if devices == "all" else n_dev)
-            # Replicate the scene once up front (not per wave call).
-            self.scene = device_put_replicated(self.mesh, self.scene)
+            # Replicate the scene once up front (not per wave call). Under
+            # jax.distributed the mesh spans processes: device_put of a
+            # committed single-device array to a multi-process sharding is
+            # rejected, so hand numpy host buffers (identical on every
+            # process — scene compilation is deterministic) to device_put.
+            tree = self.scene
+            if jax.process_count() > 1:
+                tree = jax.tree_util.tree_map(np.asarray, tree)
+            self.scene = device_put_replicated(self.mesh, tree)
         self.n_devices = self.mesh.devices.size if self.mesh is not None else 1
 
     def _wave_fn(self, k: int):
@@ -150,7 +157,7 @@ class Renderer:
                 # inserts for the replicated scalar output.
                 self._wave_fns[k] = jax.jit(
                     fn,
-                    in_shardings=(rep, lanes, lanes, None),
+                    in_shardings=(rep, lanes, lanes, rep),
                     out_shardings=(rep, rep),
                 )
             return self._wave_fns[k]
@@ -181,8 +188,10 @@ class Renderer:
         chunk = -(-chunk // self.n_devices) * self.n_devices
 
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        px_all = jnp.asarray(xx.reshape(-1), jnp.int32)
-        py_all = jnp.asarray(yy.reshape(-1), jnp.int32)
+        # Host buffers: identical on every process, so device_put can shard
+        # them over a multi-process mesh (chunk loop below).
+        px_all = np.ascontiguousarray(xx.reshape(-1).astype(np.int32))
+        py_all = np.ascontiguousarray(yy.reshape(-1).astype(np.int32))
 
         hdr = jnp.zeros((n_pix, 3), jnp.float32)
         samples_taken = 0
@@ -221,12 +230,22 @@ class Renderer:
             for start in range(0, n_pix, chunk):
                 end = min(start + chunk, n_pix)
                 if end - start < chunk:  # pad to static shape
-                    sl = jnp.arange(start, start + chunk) % n_pix
+                    sl = np.arange(start, start + chunk) % n_pix
                 else:
-                    sl = jnp.arange(start, end)
-                est, rays = fn(
-                    self.scene, px_all[sl], py_all[sl], jnp.uint32(samples_taken)
-                )
+                    sl = np.arange(start, end)
+                px_c, py_c = px_all[sl], py_all[sl]
+                base = np.uint32(samples_taken)
+                if self.mesh is not None:
+                    from yart_tpu.parallel.sharding import (
+                        device_put_lanes,
+                        replicate,
+                    )
+
+                    # Explicit placement from host buffers: valid both for a
+                    # local mesh and a multi-process (multi-host) one.
+                    px_c, py_c = device_put_lanes(self.mesh, px_c, py_c)
+                    base = jax.device_put(base, replicate(self.mesh))
+                est, rays = fn(self.scene, px_c, py_c, base)
                 wave_img[start:end] = np.asarray(est)[: end - start]
                 total_rays += float(rays)
             wave_img = jnp.asarray(wave_img)
