@@ -36,7 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--tonemap", choices=["agx", "none"], default="agx")
     p.add_argument("--look", choices=["none", "golden", "punchy"], default="none")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--exposure", type=float, default=0.0, help="EV stops")
+    p.add_argument("--exposure", type=float, default=None,
+                   help="EV stops (default: per-scene; the reference's "
+                        "flagship config uses +5 EV, src/main.cpp:34)")
     p.add_argument("--focal", type=float, default=35.0, help="focal length mm")
     p.add_argument("--fnumber", type=float, default=0.0, help="aperture f-number, 0 = no DoF")
     p.add_argument("--aperture-sides", type=int, default=0)
@@ -121,6 +123,11 @@ def default_camera(args, name):
         "atrium-ivy": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
         "roadster": ((4.4, 1.7, 5.0), (0.0, 0.5, 0.0)),
     }
+    # Interior scenes under a sky env need positive EV (the reference's
+    # Sponza config runs at +5 EV, src/main.cpp:34).
+    exposure = {"atrium": 3.0, "atrium-ivy": 3.0, "roadster": 1.0}
+    if args.exposure is None:
+        args.exposure = exposure.get(name, 0.0)
     pos, target = defaults.get(name, ((0, 1, 4), (0, 1, 0)))
     if args.camera_pos:
         pos = tuple(float(x) for x in args.camera_pos.split(","))

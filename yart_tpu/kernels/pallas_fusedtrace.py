@@ -118,8 +118,43 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
 
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
-                  rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-                  *scratch):
+                  ablate: int,
+                  blive_ref, rays_ref, rays_t_ref, boxes_ref, pack_ref,
+                  out_ref, *scratch):
+    block = rays_ref.shape[0]
+    cpad = boxes_ref.shape[1]
+
+    rays = rays_ref[...]
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    t0 = rays[:, 6:7]
+    floor = rays[:, 7:8]
+
+    # Blocks whose rays enter no cluster (the presort packs them together)
+    # skip everything including the box sweep — with cluster-sorted rays
+    # the per-block fixed cost dominates, and most blocks are empty.
+    neg1b = lax.bitcast_convert_type(
+        jnp.full((block, 1), -1, jnp.int32), jnp.float32
+    )
+    out_ref[0] = jnp.concatenate(
+        [t0, jnp.zeros((block, 3), jnp.float32), neg1b,
+         jnp.zeros((block, 3), jnp.float32)],
+        axis=1,
+    )
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _live_body():
+        _fused_body(
+            c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
+            rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref, *scratch,
+            ablate=ablate,
+        )
+
+
+def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
+                pack_vmem: bool, mxu_test: bool, kbatch: int,
+                rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
+                *scratch, ablate: int = 0):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -184,6 +219,12 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
     t_bits0 = lax.bitcast_convert_type(t0, jnp.int32)  # [B,1]
     cid0 = jnp.full((block, 1), -1, jnp.int32)
     m0 = jnp.min(key_row)
+
+    if ablate == 1:  # sweep only (tools/diag_ablate.py)
+        out_ref[0] = jnp.broadcast_to(
+            jnp.float32(m0).reshape(1, 1), (block, 8)
+        )
+        return
 
     if not pack_vmem:
 
@@ -257,11 +298,23 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
             cid_best = jnp.where(upd, mk & ID_MASK, cid_best)
         return (i + 1, cur, row, t_bits, cid_best)
 
-    n_it, _, _, _, cid_best = lax.while_loop(
+    n_it, _, _, t_bits_f, cid_best = lax.while_loop(
         cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
     )
 
-    # --- stage 3: re-test the distinct winning clusters, full epilogue ---
+    if ablate == 2:  # sweep + t-loop, no winners epilogue
+        out_ref[0] = jnp.concatenate(
+            [
+                lax.bitcast_convert_type(t_bits_f, jnp.float32),
+                cid_best.astype(jnp.float32),
+                jnp.broadcast_to(
+                    n_it.astype(jnp.float32).reshape(1, 1), (block, 1)
+                ),
+                jnp.zeros((block, 5), jnp.float32),
+            ],
+            axis=1,
+        )
+        return
     win_row = jnp.any(cid_best == cid_iota, axis=0, keepdims=True)
     wkey_row = jnp.where(win_row, cid_iota, KEY_DEAD)
 
@@ -339,11 +392,102 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
     )
 
 
+def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
+    """Per-ray (nearest-entered cluster, 2nd cluster, count) for the block
+    sort key. Same conservative sweep as _fused_kernel stage 1."""
+    block = rays_ref.shape[0]
+    cpad = boxes_ref.shape[1]
+    rays = rays_ref[...]
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    t0 = rays[:, 6:7]
+    floor = rays[:, 7:8]
+
+    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    ia = 1.0 / safe
+    oia = o * ia
+    neg1 = jnp.full((1, cpad), -1.0, jnp.float32)
+    ent = None
+    ext = None
+    for a in range(3):
+        lhs = jnp.concatenate([ia[:, a : a + 1], oia[:, a : a + 1]], axis=1)
+        rlo = jnp.concatenate([boxes_ref[a : a + 1, :], neg1], axis=0)
+        rhi = jnp.concatenate([boxes_ref[a + 3 : a + 4, :], neg1], axis=0)
+        dot = lambda r: lax.dot_general(
+            lhs, r, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        x0 = dot(rlo)
+        x1 = dot(rhi)
+        a0 = jnp.minimum(x0, x1)
+        a1 = jnp.maximum(x0, x1)
+        ent = a0 if ent is None else jnp.maximum(ent, a0)
+        ext = a1 if ext is None else jnp.minimum(ext, a1)
+    e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
+    xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
+    cid_iota = lax.broadcasted_iota(jnp.int32, (block, cpad), 1)
+    hit = (
+        (xt >= e) & (e < t0) & (xt > floor) & (cid_iota < n_clus)
+    )  # [B, cpad]
+
+    bits = lax.bitcast_convert_type(e, jnp.int32)  # positive (e >= t_min)
+    key_rc = jnp.where(hit, (bits & ~ID_MASK) | cid_iota, KEY_DEAD)
+    k0 = jnp.min(key_rc, axis=1, keepdims=True)  # [B, 1]
+    cid0 = k0 & ID_MASK
+    key2 = jnp.where(cid_iota == cid0, KEY_DEAD, key_rc)
+    cid1 = jnp.min(key2, axis=1, keepdims=True) & ID_MASK
+    count = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+
+    nothing = k0 == KEY_DEAD
+    # Sort key: empty/dead rays last (bit 24), live rays grouped by the
+    # (nearest, 2nd-nearest) cluster pair so blocks share cluster sets.
+    skey = jnp.where(nothing, 1 << 24, (cid0 << 12) | (cid1 & ID_MASK))
+    pad = jnp.zeros((block, 4), jnp.int32)
+    out_ref[...] = jnp.concatenate([skey, cid0, cid1, count, pad], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "n_clus", "block", "interpret")
+)
+def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
+                        block: int = 128, interpret: bool = False):
+    """rays [N, 8] f32 (o3, d3, t_max, floor), N a multiple of `block`.
+    Returns [N, 8] i32: col 0 = block sort key (nothing-bit | cid0 | cid1),
+    col 1/2 = nearest/2nd cluster id, col 3 = clusters entered.
+
+    Grouping rays by the clusters they actually enter (instead of the
+    octant+Morton proxy) is what gives ray blocks shared cluster sets —
+    the measured block union was ~95 clusters under the coherence sort vs
+    a per-ray mean of 1.3 entered (tools/diag_fused.py). Any permutation
+    is semantically identical (per-ray results are order-free), so this
+    pass is pure scheduling."""
+    n = rays.shape[0]
+    n_blocks = n // block
+    assert n_blocks * block == n
+    cpad = clus_box.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_presort_kernel, t_min, n_clus),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, 8), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cpad), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 8), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.int32),
+        interpret=interpret,
+    )(rays, clus_box)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
-        "interpret",
+        "ablate", "interpret",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -351,12 +495,15 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        pack_vmem: bool | None = None,
                        mxu_test: bool = False,
                        kbatch: int = 8,
+                       blive=None,
+                       ablate: int = 0,
                        interpret: bool = False):
     """rays [Np, 8] f32 (o3, d3, t_cur, floor), Np a multiple of `block`;
     clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
-    id bitcast into row 4 lane 0 (scene/clusters.py woop_rows). Returns
-    out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it, win, pad;
-    lanes with no hit keep t == t_cur, tri == -1."""
+    id bitcast into row 4 lane 0 (scene/clusters.py woop_rows); blive
+    [Np // block] i32 (0 = block provably enters nothing, skipped whole).
+    Returns out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it,
+    win, pad; lanes with no hit keep t == t_cur, tri == -1."""
     n = rays.shape[0]
     n_blocks = n // block
     assert n_blocks * block == n
@@ -364,26 +511,28 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     if pack_vmem is None:
         pack_vmem = clus_pack.size * 4 <= VMEM_PACK_BYTES
     rays_t = rays.T  # SoA view for the MXU projections (cheap relayout)
+    if blive is None:
+        blive = jnp.ones((n_blocks,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 8), lambda b: (b, 0),
+            pl.BlockSpec((block, 8), lambda b, bl: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda b: (0, b),
+            pl.BlockSpec((8, block), lambda b, bl: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cpad), lambda b: (0, 0),
+            pl.BlockSpec((8, cpad), lambda b, bl: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                clus_pack.shape, lambda b: (0, 0, 0),
+                clus_pack.shape, lambda b, bl: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             if pack_vmem
             else pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, block, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, block, 8), lambda b, bl: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[]
         if pack_vmem
@@ -395,10 +544,10 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, c, t_min, nee, clus_pack.shape[0],
-            pack_vmem, mxu_test, kbatch,
+            pack_vmem, mxu_test, kbatch, ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),
         interpret=interpret,
-    )(rays, rays_t, clus_box, clus_pack)
+    )(blive.astype(jnp.int32), rays, rays_t, clus_box, clus_pack)
     return out.reshape(n, 8)

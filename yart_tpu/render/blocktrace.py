@@ -46,19 +46,53 @@ _WKEY0 = -(1 << 31)  # initial window: everything eligible
 MAX_CLUSTERS = 1 << 12  # ID_BITS; bigger scenes use render/bintrace.py
 
 
-def _pad_sorted(scene, o, d, t_max_v, floor_v, block):
-    """Coherence-sort rays and pad to a whole number of blocks. Returns
-    (o_s, d_s, t_s, floor_s, inv) where inv gathers sorted results back to
-    original lane order; padded lanes have t = -1 (instantly done)."""
+def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
+                 interpret):
+    """Per-ray block sort key from the presort sweep kernel: rays grouped
+    by (nearest-entered cluster, 2nd cluster), empty/dead rays last. See
+    kernels/pallas_fusedtrace.py presort_keys_pallas."""
+    from yart_tpu.kernels.pallas_fusedtrace import presort_keys_pallas
+
+    n = o.shape[0]
+    pad = (-n) % block
+    rays = jnp.concatenate(
+        [o, d, t_max_v[:, None], floor_v[:, None]], axis=1
+    )
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pad, 8), jnp.float32)], axis=0
+        )
+    keys = presort_keys_pallas(
+        rays, scene.clus_box, int(meta.n_clusters), t_min,
+        block=block, interpret=interpret,
+    )
+    return keys[:n, 0].astype(jnp.uint32)
+
+
+def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
+                t_min: float = 1e-3, interpret: bool = False):
+    """Sort rays so blocks share cluster sets, and pad to a whole number of
+    blocks. Returns (o_s, d_s, t_s, floor_s, inv, blive) where inv gathers
+    sorted results back to original lane order; padded lanes have t = -1
+    (instantly done). With `meta` the key comes from the cluster presort
+    sweep — which also yields `blive`, a per-block any-ray-enters-anything
+    flag (empty blocks sort last and the fused kernel skips them whole);
+    otherwise the octant+Morton coherence proxy (blive = None)."""
     from yart_tpu.render.intersect import _coherence_key
 
     n = o.shape[0]
     pad = (-n) % block
-    key = _coherence_key(scene, o, d)
-    # Dead lanes (t_max <= 0: retired wavefront paths, unneeded shadow
-    # rays) sort LAST so they fill whole blocks that exit instantly,
-    # instead of salting live blocks at full per-block cost.
-    key = key | (t_max_v <= 0.0).astype(jnp.uint32) << 25
+    blive = None
+    if meta is not None:
+        key = _cluster_key(
+            scene, meta, o, d, t_max_v, floor_v, t_min, block, interpret
+        )
+    else:
+        key = _coherence_key(scene, o, d)
+        # Dead lanes (t_max <= 0: retired wavefront paths, unneeded shadow
+        # rays) sort LAST so they fill whole blocks that exit instantly,
+        # instead of salting live blocks at full per-block cost.
+        key = key | (t_max_v <= 0.0).astype(jnp.uint32) << 25
     order = jnp.argsort(key)
     inv = jnp.argsort(order)
     if pad:
@@ -66,13 +100,20 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block):
         live = jnp.arange(n + pad) < n
     else:
         live = None
+    if meta is not None:
+        lane_live = key[order] < (1 << 24)
+        if live is not None:
+            lane_live = lane_live & live
+        blive = jnp.any(
+            lane_live.reshape(-1, block), axis=1
+        ).astype(jnp.int32)
     o_s = o[order]
     d_s = d[order]
     t_s = t_max_v[order]
     floor_s = floor_v[order]
     if live is not None:
         t_s = jnp.where(live, t_s, -1.0)
-    return o_s, d_s, t_s, floor_s, inv
+    return o_s, d_s, t_s, floor_s, inv, blive
 
 
 def intersect_blocktrace(
@@ -107,8 +148,9 @@ def intersect_blocktrace(
         if floor is not None
         else jnp.zeros((n,), jnp.float32)
     )
-    o_s, d_s, t_s, floor_s, inv = _pad_sorted(
-        scene, o, d, t_max_v, floor_v, block
+    o_s, d_s, t_s, floor_s, inv, blive = _pad_sorted(
+        scene, o, d, t_max_v, floor_v, block,
+        meta=meta if fused else None, t_min=t_min, interpret=interpret,
     )
 
     if fused:
@@ -119,7 +161,7 @@ def intersect_blocktrace(
         )
         res = fused_trace_pallas(
             rays, scene.clus_box, scene.clus_pack, block, c, t_min,
-            nee=nee, interpret=interpret,
+            nee=nee, blive=blive, interpret=interpret,
         )[inv]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
