@@ -46,11 +46,11 @@ def main(lanes: int = 262144):
         ))(rays)[:, 0].astype(jnp.uint32)
         order = jnp.argsort(keys)
         rays_s = rays[order]
-        lane_live = keys[order] < (1 << 24)
+        lane_live = keys[order] < (1 << 25)
         blive = jnp.any(lane_live.reshape(-1, block), axis=1).astype(
             jnp.int32)
         tag = "coh" if coh else "inc"
-        n_live = int(jnp.sum(blive))
+        n_live = int(jnp.sum(blive != 0))
         print(f"{tag}: live blocks {n_live}/{blive.shape[0]}", flush=True)
 
         for ablate, kb in ((1, 8), (2, 8), (2, 16), (0, 8)):

@@ -114,7 +114,7 @@ def main(lanes: int = 262144):
 
         # fused kernel on sorted rays
         rays_s = rays[order]
-        lane_live = keys[order] < (1 << 24)
+        lane_live = keys[order] < (1 << 25)
         blive = jnp.any(lane_live.reshape(-1, block), axis=1).astype(
             jnp.int32)
         print(f"  {tag} live blocks: {float(jnp.mean(blive)):.2f}",

@@ -36,7 +36,7 @@ def main(lanes: int = 262144):
         o = jnp.asarray(o_np)
         d = jnp.asarray(d_np)
         for mode in ("morton", "cluster"):
-            for kbatch in (8, 16):
+            for kbatch in (4, 8):
                 def full(scene, o, d, kbatch=kbatch, mode=mode):
                     n = o.shape[0]
                     tm = jnp.full((n,), 100.0, jnp.float32)

@@ -7,12 +7,12 @@ cluster box each continuation round, and a host-level while_loop round trip.
 This kernel removes all three by doing the whole traversal for a ray block
 in a single grid step, in three stages:
 
-  1. sweep    every cluster AABB against the block's B rays once, as six
-              rank-2 MXU contractions ([B,2] x [2,cpad]): the slab bound
-              x = lo*inv_d - o*inv_d is linear in (inv_d, o*inv_d), so the
-              per-axis lo/hi planes are dot_generals instead of
-              [B,1]x[1,CH] VPU lane-broadcasts. Reduce to one packed
-              (entry | cluster id) key per live cluster.
+  1. sweep    every cluster AABB against the block's B rays once, as
+              broadcast FMAs over [B, cpad] (six [B,2]x[2,cpad] MXU
+              contractions were tried first and measure ~3-8x slower:
+              K=2 passes are MXU-latency-bound, ~74 invocations per
+              block at cpad ~1.5k). Reduce to one packed (entry |
+              cluster id) key per live cluster.
   2. t-loop   lax.while_loop in nearest-entry order: read the candidate
               cluster's prepacked [8, 3C] operand (VMEM-resident pack, or
               double-buffered HBM DMA for packs over VMEM_PACK_BYTES),
@@ -23,13 +23,21 @@ in a single grid step, in three stages:
               expensive argmin/attribute extraction is NOT done here — a
               round-2 profile showed the per-iteration argmin/take chain
               (~10 lane-reductions) dominating the whole traversal.
-  3. winners  a second short loop over the block's DISTINCT winning
-              clusters (typically ~10-30 vs hundreds of candidates):
-              re-test each with the full epilogue (u, v, backface,
-              triangle argmin) and keep the exact closest hit. Phase 2
-              tests every cluster some ray won, so each ray's final hit
-              is bit-identical to testing everything with the full
-              epilogue.
+  3. winners  a second short loop over the DISTINCT winning cluster ids,
+              extracted from the per-ray cid_best vector ([B,1] sublane
+              space): re-test each with the full epilogue (u, v,
+              backface, triangle argmin) and keep the exact closest hit.
+              Phase 2 tests every cluster some ray won, so each ray's
+              final hit is bit-identical to testing everything with the
+              full epilogue.
+
+Scheduling around the kernel (render/blocktrace.py): rays are sorted by
+the presort kernel's key — (nearest-entered cluster, 2nd cluster), with
+long-tail rays grouped separately and empty/dead rays last — and blocks
+that provably enter nothing are skipped wholesale via the scalar-prefetch
+`blive` flags. Versus the octant+Morton coherence sort this cut the
+per-block tested-cluster union from ~95 to ~6-47 and made 58-70% of
+blocks free (tools/diag_presort.py history).
 
 Reference contract: closest hit / NEE early-out of
 src/cpu/ray-integrator.cpp:84-229; the traversal order differs (cluster
@@ -37,12 +45,12 @@ nearest-first per ray block instead of a per-ray node stack) but the result
 is the exact same closest hit, which tests/test_blocktrace.py asserts
 against the brute oracle.
 
-Conservativeness: MXU f32 contractions run at HIGHEST precision and the
-entry/exit bounds get a 1e-6 relative margin in the safe direction, so box
-culling only ever over-includes (the exact per-triangle test decides every
-hit); the packed key clears ID_BITS low mantissa bits, which only lowers
-the entry used for the termination bound. The phase-1 t carry is EXACT
-(two i32 words per ray), so no quantization can pick the wrong winner.
+Conservativeness: the entry/exit bounds get a 1e-6 relative margin in the
+safe direction, so box culling only ever over-includes (the exact
+per-triangle test decides every hit); the packed key clears ID_BITS low
+mantissa bits, which only lowers the entry used for the termination bound.
+The phase-1 t carry is EXACT (two i32 words per ray), so no quantization
+can pick the wrong winner.
 
 Diagnostics: out lane 0 col 5 carries the phase-1 trip count, col 6 the
 phase-2 winner count, per block (tools/perf_trace.py uses them to tune
@@ -119,16 +127,12 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
                   ablate: int,
-                  blive_ref, rays_ref, rays_t_ref, boxes_ref, pack_ref,
-                  out_ref, *scratch):
+                  blive_ref, rays_ref, rays_t_ref, boxes_ref,
+                  pack_ref, out_ref, *scratch):
     block = rays_ref.shape[0]
-    cpad = boxes_ref.shape[1]
 
     rays = rays_ref[...]
-    o = rays[:, 0:3]
-    d = rays[:, 3:6]
     t0 = rays[:, 6:7]
-    floor = rays[:, 7:8]
 
     # Blocks whose rays enter no cluster (the presort packs them together)
     # skip everything including the box sweep — with cluster-sorted rays
@@ -146,8 +150,8 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
     def _live_body():
         _fused_body(
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
-            rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref, *scratch,
-            ablate=ablate,
+            rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
+            *scratch, ablate=ablate,
         )
 
 
@@ -169,28 +173,8 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     else:
         po, pd = o, d
 
-    # --- stage 1: sweep all cluster boxes, MXU outer-product form ---
-    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-    ia = 1.0 / safe          # [B, 3]
-    oia = o * ia             # [B, 3]
-    neg1 = jnp.full((1, cpad), -1.0, jnp.float32)
-    ent = None
-    ext = None
-    for a in range(3):
-        lhs = jnp.concatenate([ia[:, a : a + 1], oia[:, a : a + 1]], axis=1)
-        rlo = jnp.concatenate([boxes_ref[a : a + 1, :], neg1], axis=0)
-        rhi = jnp.concatenate([boxes_ref[a + 3 : a + 4, :], neg1], axis=0)
-        dot = lambda r: lax.dot_general(
-            lhs, r, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        x0 = dot(rlo)
-        x1 = dot(rhi)
-        a0 = jnp.minimum(x0, x1)
-        a1 = jnp.maximum(x0, x1)
-        ent = a0 if ent is None else jnp.maximum(ent, a0)
-        ext = a1 if ext is None else jnp.minimum(ext, a1)
+    # --- stage 1: sweep all cluster boxes ---
+    ent, ext = _sweep_bounds(o, d, boxes_ref, cpad, use_dots=False)
     # Margins in the safe (over-inclusive) direction; entries are >= 0.
     e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
     xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
@@ -315,8 +299,10 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             axis=1,
         )
         return
-    win_row = jnp.any(cid_best == cid_iota, axis=0, keepdims=True)
-    wkey_row = jnp.where(win_row, cid_iota, KEY_DEAD)
+    # Winner extraction straight from the per-ray cid_best vector ([B,1]
+    # sublane space) — building a [B, cpad] membership row just to extract
+    # from it again costs more than the whole winners loop.
+    wvals0 = jnp.where(cid_best >= 0, cid_best, KEY_DEAD)
 
     neg1f = lax.bitcast_convert_type(
         jnp.full((block, 1), -1, jnp.int32), jnp.float32
@@ -326,7 +312,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
          jnp.zeros((block, 3), jnp.float32)],
         axis=1,
     )
-    w0 = jnp.min(wkey_row)
+    w0 = jnp.min(wvals0)
 
     if not pack_vmem:
 
@@ -335,12 +321,12 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             dma(0, w0).start()
 
     def wcond(st):
-        j, w, wkey_row, best = st
+        j, w, wvals, best = st
         return w != KEY_DEAD
 
     def wbody(st):
-        j, w, wkey_row, best = st
-        wkey2 = jnp.where(wkey_row == w, KEY_DEAD, wkey_row)
+        j, w, wvals, best = st
+        wkey2 = jnp.where(wvals == w, KEY_DEAD, wvals)
         w2 = jnp.min(wkey2)
 
         if pack_vmem:
@@ -381,7 +367,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         return (j + 1, w2, wkey2, best)
 
     n_win, _, _, best = lax.while_loop(
-        wcond, wbody, (jnp.int32(0), w0, wkey_row, best0)
+        wcond, wbody, (jnp.int32(0), w0, wvals0, best0)
     )
 
     lanecol = lax.broadcasted_iota(jnp.int32, (block, 1), 0)
@@ -392,9 +378,52 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     )
 
 
+N_SLOTS = 2  # nearest-entered clusters extracted for the sort key
+
+
+def _sweep_bounds(o, d, boxes_ref, cpad, use_dots: bool):
+    """Conservative (entry, exit) of every cluster box per ray [B, cpad].
+
+    `use_dots`: six [B,2]x[2,cpad] MXU contractions (x = lo*ia - oia is
+    linear in (ia, oia)); otherwise pure-VPU broadcast FMAs — tiny-K MXU
+    passes are latency-bound (~74 invocations per block at cpad ~1568),
+    and the VPU form measures faster."""
+    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    ia = 1.0 / safe          # [B, 3]
+    oia = o * ia             # [B, 3]
+    neg1 = jnp.full((1, cpad), -1.0, jnp.float32)
+    ent = None
+    ext = None
+    for a in range(3):
+        if use_dots:
+            lhs = jnp.concatenate(
+                [ia[:, a : a + 1], oia[:, a : a + 1]], axis=1
+            )
+            rlo = jnp.concatenate([boxes_ref[a : a + 1, :], neg1], axis=0)
+            rhi = jnp.concatenate([boxes_ref[a + 3 : a + 4, :], neg1], axis=0)
+            dot = lambda r: lax.dot_general(
+                lhs, r, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            x0 = dot(rlo)
+            x1 = dot(rhi)
+        else:
+            iaa = ia[:, a : a + 1]
+            oa = oia[:, a : a + 1]
+            x0 = boxes_ref[a : a + 1, :] * iaa - oa
+            x1 = boxes_ref[a + 3 : a + 4, :] * iaa - oa
+        a0 = jnp.minimum(x0, x1)
+        a1 = jnp.maximum(x0, x1)
+        ent = a0 if ent is None else jnp.maximum(ent, a0)
+        ext = a1 if ext is None else jnp.minimum(ext, a1)
+    return ent, ext
+
+
 def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
-    """Per-ray (nearest-entered cluster, 2nd cluster, count) for the block
-    sort key. Same conservative sweep as _fused_kernel stage 1."""
+    """Per-ray presort: the N_SLOTS nearest-entered clusters as packed
+    (entry | cid) keys, the entered count, and the block sort key. Same
+    conservative sweep as _fused_kernel stage 1."""
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
     rays = rays_ref[...]
@@ -403,27 +432,7 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
     t0 = rays[:, 6:7]
     floor = rays[:, 7:8]
 
-    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-    ia = 1.0 / safe
-    oia = o * ia
-    neg1 = jnp.full((1, cpad), -1.0, jnp.float32)
-    ent = None
-    ext = None
-    for a in range(3):
-        lhs = jnp.concatenate([ia[:, a : a + 1], oia[:, a : a + 1]], axis=1)
-        rlo = jnp.concatenate([boxes_ref[a : a + 1, :], neg1], axis=0)
-        rhi = jnp.concatenate([boxes_ref[a + 3 : a + 4, :], neg1], axis=0)
-        dot = lambda r: lax.dot_general(
-            lhs, r, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        x0 = dot(rlo)
-        x1 = dot(rhi)
-        a0 = jnp.minimum(x0, x1)
-        a1 = jnp.maximum(x0, x1)
-        ent = a0 if ent is None else jnp.maximum(ent, a0)
-        ext = a1 if ext is None else jnp.minimum(ext, a1)
+    ent, ext = _sweep_bounds(o, d, boxes_ref, cpad, use_dots=False)
     e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
     xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
     cid_iota = lax.broadcasted_iota(jnp.int32, (block, cpad), 1)
@@ -433,18 +442,29 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
 
     bits = lax.bitcast_convert_type(e, jnp.int32)  # positive (e >= t_min)
     key_rc = jnp.where(hit, (bits & ~ID_MASK) | cid_iota, KEY_DEAD)
-    k0 = jnp.min(key_rc, axis=1, keepdims=True)  # [B, 1]
-    cid0 = k0 & ID_MASK
-    key2 = jnp.where(cid_iota == cid0, KEY_DEAD, key_rc)
-    cid1 = jnp.min(key2, axis=1, keepdims=True) & ID_MASK
+    slots = []
+    for _ in range(N_SLOTS):
+        k = jnp.min(key_rc, axis=1, keepdims=True)  # [B, 1]
+        slots.append(k)
+        key_rc = jnp.where(cid_iota == (k & ID_MASK), KEY_DEAD, key_rc)
     count = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
 
-    nothing = k0 == KEY_DEAD
-    # Sort key: empty/dead rays last (bit 24), live rays grouped by the
-    # (nearest, 2nd-nearest) cluster pair so blocks share cluster sets.
-    skey = jnp.where(nothing, 1 << 24, (cid0 << 12) | (cid1 & ID_MASK))
-    pad = jnp.zeros((block, 4), jnp.int32)
-    out_ref[...] = jnp.concatenate([skey, cid0, cid1, count, pad], axis=1)
+    nothing = slots[0] == KEY_DEAD
+    heavy = count > N_SLOTS
+    cid0 = slots[0] & ID_MASK
+    cid1 = slots[1] & ID_MASK
+    # Sort key: empty/dead rays last (bit 25); rays needing the full sweep
+    # ("heavy", > N_SLOTS clusters) grouped separately (bit 24) so they
+    # don't salt light blocks' unions; light rays grouped by the (nearest,
+    # 2nd-nearest) cluster pair so blocks share cluster sets.
+    skey = jnp.where(
+        nothing,
+        1 << 25,
+        jnp.where(heavy, 1 << 24, 0) | (cid0 << 12) | (cid1 & ID_MASK),
+    )
+    out_ref[...] = jnp.concatenate(
+        [skey] + slots + [count, jnp.zeros((block, 4), jnp.int32)], axis=1
+    )
 
 
 @functools.partial(
@@ -453,15 +473,18 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
 def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
                         block: int = 128, interpret: bool = False):
     """rays [N, 8] f32 (o3, d3, t_max, floor), N a multiple of `block`.
-    Returns [N, 8] i32: col 0 = block sort key (nothing-bit | cid0 | cid1),
-    col 1/2 = nearest/2nd cluster id, col 3 = clusters entered.
+    Returns [N, 8] i32: col 0 = block sort key (nothing | heavy | cid0 |
+    cid1), cols 1..N_SLOTS = packed (entry | cid) keys of the N_SLOTS
+    nearest entered clusters (KEY_DEAD-padded), col 1 + N_SLOTS = entered
+    count.
 
     Grouping rays by the clusters they actually enter (instead of the
     octant+Morton proxy) is what gives ray blocks shared cluster sets —
     the measured block union was ~95 clusters under the coherence sort vs
-    a per-ray mean of 1.3 entered (tools/diag_fused.py). Any permutation
-    is semantically identical (per-ray results are order-free), so this
-    pass is pure scheduling."""
+    a per-ray mean of 1.3 entered (tools/diag_fused.py). The sort is pure
+    scheduling (per-ray results are order-free). Rays entering more than
+    N_SLOTS clusters carry long candidate tails; the heavy bit groups
+    them into their own blocks so they don't salt light blocks' unions."""
     n = rays.shape[0]
     n_blocks = n // block
     assert n_blocks * block == n
@@ -501,7 +524,11 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     """rays [Np, 8] f32 (o3, d3, t_cur, floor), Np a multiple of `block`;
     clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
     id bitcast into row 4 lane 0 (scene/clusters.py woop_rows); blive
-    [Np // block] i32 (0 = block provably enters nothing, skipped whole).
+    [Np // block] i32: 0 = block provably enters nothing (skipped whole),
+    1 = "light" (every ray entered <= N_SLOTS clusters — the slots phase
+    alone is exact), 2 = heavy (slots phase + warm-started wide sweep);
+    slots [Np, N_SLOTS] i32 presort slot keys (required for blive == 1
+    blocks; without it every live block must be flagged 2).
     Returns out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it,
     win, pad; lanes with no hit keep t == t_cur, tri == -1."""
     n = rays.shape[0]

@@ -49,7 +49,8 @@ MAX_CLUSTERS = 1 << 12  # ID_BITS; bigger scenes use render/bintrace.py
 def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
                  interpret):
     """Per-ray block sort key from the presort sweep kernel: rays grouped
-    by (nearest-entered cluster, 2nd cluster), empty/dead rays last. See
+    by (nearest-entered cluster, 2nd cluster), heavy rays (long candidate
+    tails) in their own groups, empty/dead rays last. See
     kernels/pallas_fusedtrace.py presort_keys_pallas."""
     from yart_tpu.kernels.pallas_fusedtrace import presort_keys_pallas
 
@@ -62,11 +63,11 @@ def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
         rays = jnp.concatenate(
             [rays, jnp.zeros((pad, 8), jnp.float32)], axis=0
         )
-    keys = presort_keys_pallas(
+    out = presort_keys_pallas(
         rays, scene.clus_box, int(meta.n_clusters), t_min,
         block=block, interpret=interpret,
     )
-    return keys[:n, 0].astype(jnp.uint32)
+    return out[:n, 0].astype(jnp.uint32)
 
 
 def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
@@ -77,7 +78,8 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
     (instantly done). With `meta` the key comes from the cluster presort
     sweep — which also yields `blive`, a per-block any-ray-enters-anything
     flag (empty blocks sort last and the fused kernel skips them whole);
-    otherwise the octant+Morton coherence proxy (blive = None)."""
+    otherwise the octant+Morton coherence proxy (blive = None). Returns
+    (o_s, d_s, t_s, floor_s, inv, blive)."""
     from yart_tpu.render.intersect import _coherence_key
 
     n = o.shape[0]
@@ -101,7 +103,8 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
     else:
         live = None
     if meta is not None:
-        lane_live = key[order] < (1 << 24)
+        # Live = anything below the nothing bit (incl. heavy-tagged rays).
+        lane_live = key[order] < (1 << 25)
         if live is not None:
             lane_live = lane_live & live
         blive = jnp.any(
