@@ -117,8 +117,11 @@ def test_texture_grad_matches_fd():
     # FD against a global red-channel shift of the atlas (sum of texel
     # grads = directional derivative along that shift).
     def loss_of_shift(delta):
+        from yart_tpu.render.texture import qrows_from_data
+
         data = scene.tex_rgba.data.at[..., 0].add(delta)
-        s = scene._replace(tex_rgba=scene.tex_rgba._replace(data=data))
+        s = scene._replace(tex_rgba=scene.tex_rgba._replace(
+            data=data, qrows=qrows_from_data(data)))
         radiance, _ = render_image_diff(s, meta, cam, sampler, cfg, px, py, sidx)
         return jnp.mean(radiance)
 

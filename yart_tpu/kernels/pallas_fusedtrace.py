@@ -575,6 +575,12 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),
+        # The VMEM-resident cluster pack alone can exceed the default 16 MB
+        # scoped-vmem budget (a Sponza-class pack is ~17 MB); lift the
+        # per-kernel cap to match VMEM_PACK_BYTES + working set.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_PACK_BYTES + (32 << 20),
+        ),
         interpret=interpret,
     )(blive.astype(jnp.int32), rays, rays_t, clus_box, clus_pack)
     return out.reshape(n, 8)

@@ -17,6 +17,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+ONE_MINUS_EPS = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 
 
 class Dist2D(NamedTuple):
@@ -122,3 +125,69 @@ def pdf_dist2d(d: Dist2D, uv):
     iu = jnp.clip((uv[..., 0] * nu).astype(jnp.int32), 0, nu - 1)
     iv = jnp.clip((uv[..., 1] * nv).astype(jnp.int32), 0, nv - 1)
     return d.func[iv, iu] / jnp.maximum(d.integral, 1e-20)
+
+
+def build_alias(weight: np.ndarray):
+    """Walker alias table for a discrete distribution over K cells.
+
+    TPU-first replacement for CDF inversion: per-lane binary searches and
+    per-row conditional-CDF gathers cost ~5 ms per gather op at wavefront
+    scale (tools/diag_gather.py), while alias sampling is ONE row gather +
+    arithmetic, O(1) in K. Returns (prob [K], alias [K] i32, pdf [K]) with
+    pdf the piecewise-constant density over the unit domain (cell value /
+    mean value), matching Dist2D's pdf semantics.
+    """
+    w = np.asarray(weight, np.float64).reshape(-1)
+    k = w.shape[0]
+    total = w.sum()
+    if total <= 0.0:
+        w = np.ones(k, np.float64)
+        total = float(k)
+    p = w * (k / total)  # mean 1
+    prob = np.ones(k, np.float64)
+    alias = np.arange(k, dtype=np.int64)
+    small = [i for i in range(k) if p[i] < 1.0]
+    large = [i for i in range(k) if p[i] >= 1.0]
+    p = p.copy()
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+        alias[i] = i
+    pdf = w * (k / total)
+    return (
+        prob.astype(np.float32),
+        alias.astype(np.int32),
+        pdf.astype(np.float32),
+    )
+
+
+def sample_alias_rows(rows, u):
+    """Sample cells from a packed alias-row table.
+
+    rows: [K, >=4] f32 with cols (prob, alias(bitcast i32), pdf_self,
+    pdf_alias); u: [N] uniforms. Returns (cell [N] i32, pdf [N], r [N])
+    where r is the renormalized leftover entropy of u (uniform in [0,1)
+    given the outcome) — reusable as one intra-cell jitter coordinate.
+    """
+    k = rows.shape[0]
+    x = u * k
+    j = jnp.clip(x.astype(jnp.int32), 0, k - 1)
+    r = x - j.astype(jnp.float32)
+    row = rows[j]  # ONE row gather
+    prob = row[..., 0]
+    alias = lax.bitcast_convert_type(row[..., 1], jnp.int32)
+    accept = r < prob
+    cell = jnp.where(accept, j, alias)
+    pdf = jnp.where(accept, row[..., 2], row[..., 3])
+    r2 = jnp.where(
+        accept,
+        r / jnp.maximum(prob, 1e-12),
+        (r - prob) / jnp.maximum(1.0 - prob, 1e-12),
+    )
+    return cell, pdf, jnp.clip(r2, 0.0, ONE_MINUS_EPS)

@@ -114,10 +114,16 @@ def env_grads(
     loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
 ):
     """Gradient of loss_fn(radiance) w.r.t. the environment image (its
-    sampling CDF stays fixed — only Le lookups differentiate)."""
+    sampling alias table stays fixed — only Le lookups differentiate).
+    Radiance fetches go through the packed env rows, so the rows are
+    rebuilt from the differentiable image inside the loss."""
+    from yart_tpu.render.lights import env_rows_from_image
 
     def loss(env_image):
-        s = scene._replace(env_image=env_image)
+        s = scene._replace(
+            env_image=env_image,
+            env_rows=env_rows_from_image(env_image, scene.env_pdf_cells),
+        )
         radiance, _ = render_image_diff(
             s, meta, cam, sampler, cfg, px, py, sample_idx
         )
@@ -152,8 +158,11 @@ def texture_grads(
     }[kind]
     stack = getattr(scene, field)
 
+    from yart_tpu.render.texture import qrows_from_data
+
     def loss(data):
-        s = scene._replace(**{field: stack._replace(data=data)})
+        s = scene._replace(**{field: stack._replace(
+            data=data, qrows=qrows_from_data(data))})
         radiance, _ = render_image_diff(
             s, meta, cam, sampler, cfg, px, py, sample_idx
         )

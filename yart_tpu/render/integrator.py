@@ -186,9 +186,10 @@ def li(
         miss = st.active & ~hit.mask
         L = st.L
         if meta.has_env:
-            le = lights.env_le(scene, st.d, meta)
+            # Radiance and sampling pdf from ONE env-row fetch (per-lane
+            # gathers cost ~10 ns/row regardless of width).
+            le, pdf_env = lights.env_le_pdf(scene, st.d, meta)
             if mis:
-                pdf_env = lights.env_pdf(scene, st.d, meta)
                 w_bsdf = jnp.where(
                     (depth == 0) | st.specular,
                     1.0,

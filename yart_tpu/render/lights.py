@@ -19,9 +19,8 @@ import jax.numpy as jnp
 
 from yart_tpu.ops import warps
 from yart_tpu.ops.gatherless import onehot_matmul
-from yart_tpu.ops.distribution import pdf_dist2d, sample_dist2d
+from yart_tpu.ops.distribution import ONE_MINUS_EPS, sample_alias_rows
 from yart_tpu.ops.vecmath import inv_octahedral_uv, normalize, octahedral_uv
-from yart_tpu.render.texture import sample_hdr
 from yart_tpu.scene.types import CompiledScene, SceneMeta
 
 FOUR_PI = 4.0 * jnp.pi
@@ -48,15 +47,68 @@ def _in_bounds(scene: CompiledScene, uv):
     )
 
 
+def env_rows_from_image(env_image, pdf_cells):
+    """Assemble the [K, 16] env row table: per bilinear base cell the 2x2
+    texel quad (radiance) + the cell's sampling density. jnp ops, so
+    env-image gradients flow through to the radiance fetch (render/diff.py
+    rebuilds the rows from the differentiable image)."""
+    h, w = env_image.shape[:2]
+    wc, hc = max(w - 1, 1), max(h - 1, 1)
+    x1 = jnp.minimum(jnp.arange(wc) + 1, w - 1)
+    y1 = jnp.minimum(jnp.arange(hc) + 1, h - 1)
+    s00 = env_image[:hc, :wc]
+    s10 = env_image[:hc, x1]
+    s01 = env_image[y1, :wc]
+    s11 = env_image[y1][:, x1]
+    quad = jnp.concatenate([s00, s10, s01, s11], axis=-1)  # [hc, wc, 12]
+    quad = quad.reshape(hc * wc, 12)
+    return jnp.concatenate(
+        [quad, pdf_cells.reshape(-1, 1),
+         jnp.zeros((hc * wc, 3), env_image.dtype)],
+        axis=1,
+    )
+
+
+def _env_fetch(scene: CompiledScene, meta: SceneMeta, uv):
+    """One row gather -> (Le bilinear, uv-square sampling pdf)."""
+    wc = meta.env_wc if meta is not None else 1
+    hc = meta.env_hc if meta is not None else 1
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    # Bilinear base == sampling cell by construction (grid = (W-1)x(H-1)).
+    fx = u * wc
+    fy = v * hc
+    x = jnp.clip(fx.astype(jnp.int32), 0, wc - 1)
+    y = jnp.clip(fy.astype(jnp.int32), 0, hc - 1)
+    fu = (fx - x)[..., None]
+    fv = (fy - y)[..., None]
+    row = scene.env_rows[y * wc + x]  # [N, 16]
+    le = (
+        (row[..., 0:3] * (1 - fu) + row[..., 3:6] * fu) * (1 - fv)
+        + (row[..., 6:9] * (1 - fu) + row[..., 9:12] * fu) * fv
+    )
+    return le, row[..., 12]
+
+
 def env_le(scene: CompiledScene, d, meta: SceneMeta = None):
     """Env radiance along direction d (light.cpp:196-201); the rotation maps
     world directions into map space (light.cpp:208). With portal bounds,
     radiance outside the crop is zero (light.cpp:201-205)."""
+    return env_le_pdf(scene, d, meta)[0]
+
+
+def env_le_pdf(scene: CompiledScene, d, meta: SceneMeta = None):
+    """(radiance, solid-angle sampling pdf) along d from ONE table fetch —
+    the miss path needs both (Le + the MIS weight's light pdf)."""
     uv = octahedral_uv(d @ scene.env_rotation.T)
-    le = sample_hdr(scene.env_image, uv)
+    le, pdf_uv = _env_fetch(scene, meta, uv)
     if meta is not None and meta.env_portal:
         le = jnp.where(_in_bounds(scene, uv)[..., None], le, 0.0)
-    return le
+    if meta is not None and not meta.env_sampleable:
+        pdf = jnp.zeros(d.shape[:-1], jnp.float32)
+    else:
+        pdf = pdf_uv / FOUR_PI
+    return le, pdf
 
 
 def env_pdf(scene: CompiledScene, d, meta: SceneMeta = None):
@@ -66,8 +118,7 @@ def env_pdf(scene: CompiledScene, d, meta: SceneMeta = None):
     vanishes there."""
     if meta is not None and not meta.env_sampleable:
         return jnp.zeros(d.shape[:-1], jnp.float32)
-    uv = octahedral_uv(d @ scene.env_rotation.T)
-    return pdf_dist2d(scene.env_dist, uv) / FOUR_PI
+    return env_le_pdf(scene, d, meta)[1]
 
 
 def p_infinite(meta: SceneMeta) -> float:
@@ -172,11 +223,23 @@ def sample_light(
 
     # ---- env branch (light.cpp:219-238) ----
     if meta.has_env:
-        uv, pdf_uv = sample_dist2d(scene.env_dist, u)
-        # map -> world (the reference applies the forward transform to the
-        # sampled direction, light.cpp:228)
+        # Alias draw over the bilinear base-cell grid: one row gather picks
+        # the cell (u.x also yields one intra-cell jitter coordinate); a
+        # second row fetch returns radiance + pdf together. Sample
+        # PLACEMENT differs from the reference's 2-step CDF inversion (a
+        # documented statistical-match departure, like the alpha stream);
+        # the pdf is exactly the realized sampling density, so the
+        # estimator stays unbiased and MIS weights stay consistent.
+        cell, pdf_uv, r = sample_alias_rows(scene.env_alias, u[:, 0])
+        wc, hc = meta.env_wc, meta.env_hc
+        iu = (cell % wc).astype(jnp.float32)
+        iv = (cell // wc).astype(jnp.float32)
+        jit2 = jnp.minimum(u[:, 1], ONE_MINUS_EPS)
+        uv = jnp.stack(
+            [(iu + r) / wc, (iv + jit2) / hc], axis=-1
+        )
         wi_env = inv_octahedral_uv(uv) @ scene.env_rotation
-        li_env = sample_hdr(scene.env_image, uv)
+        li_env, _ = _env_fetch(scene, meta, uv)
         pdf_env = pdf_uv / FOUR_PI
         pos_env = wi_env * 2.0 * scene.scene_radius
         if kind == "uniform":

@@ -15,7 +15,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from yart_tpu.ops.gatherless import onehot_matmul
 from yart_tpu.scene.types import TextureStack
+
+
+def qrows_from_data(data):
+    """[H, W, C] atlas -> [H*W, 4C] per-texel 2x2 quad rows (s00 s10 s01
+    s11), edges clamped. jnp ops so texture-content gradients flow through
+    the packed rows (render/diff.py texture_grads rebuilds them)."""
+    h, w = data.shape[:2]
+    x1 = jnp.minimum(jnp.arange(w) + 1, w - 1)
+    y1 = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    quad = jnp.concatenate(
+        [data, data[:, x1], data[y1], data[y1][:, x1]], axis=-1
+    )
+    return quad.reshape(h * w, -1)
 
 
 def sample_stack(stack: TextureStack, idx, uv):
@@ -27,34 +41,34 @@ def sample_stack(stack: TextureStack, idx, uv):
     if stack.table.shape[0] == 0:
         c = stack.data.shape[-1]
         return jnp.zeros(idx.shape + (c,), jnp.float32)
+    # Rect fetch as a one-hot contraction (texture counts are tiny); the
+    # bilinear fetch is ONE quad-row gather.
     safe_idx = jnp.clip(idx, 0, stack.table.shape[0] - 1)
-    rect = stack.table[safe_idx]  # [N, 4] (x0, y0, w, h)
-    x0 = rect[..., 0]
-    y0 = rect[..., 1]
-    w = rect[..., 2].astype(jnp.float32)
-    h = rect[..., 3].astype(jnp.float32)
+    rect = onehot_matmul(stack.table.astype(jnp.float32), safe_idx)
+    w = rect[..., 2]
+    h = rect[..., 3]
 
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
     u = u * (w - 1.0)
     v = v * (h - 1.0)
-    x = jnp.minimum((rect[..., 2] - 2), u.astype(jnp.int32))
-    y = jnp.minimum((rect[..., 3] - 2), v.astype(jnp.int32))
-    x = jnp.maximum(x, 0)
-    y = jnp.maximum(y, 0)
-    fu = u - x.astype(jnp.float32)
-    fv = v - y.astype(jnp.float32)
+    x = jnp.minimum((rect[..., 2] - 2.0), jnp.floor(u))
+    y = jnp.minimum((rect[..., 3] - 2.0), jnp.floor(v))
+    x = jnp.maximum(x, 0.0)
+    y = jnp.maximum(y, 0.0)
+    fu = (u - x)[..., None]
+    fv = (v - y)[..., None]
 
-    d = stack.data
-    xx = x0 + x
-    yy = y0 + y
-    s00 = d[yy, xx]  # [N, C]
-    s01 = d[yy + 1, xx]
-    s10 = d[yy, xx + 1]
-    s11 = d[yy + 1, xx + 1]
+    aw = stack.data.shape[1]
+    c = stack.data.shape[-1]
+    xi = (rect[..., 0] + x).astype(jnp.int32)
+    yi = (rect[..., 1] + y).astype(jnp.int32)
+    q = stack.qrows[yi * aw + xi]  # [N, 4C]
+    s00 = q[..., 0 * c : 1 * c]
+    s10 = q[..., 1 * c : 2 * c]
+    s01 = q[..., 2 * c : 3 * c]
+    s11 = q[..., 3 * c : 4 * c]
 
-    fu = fu[..., None]
-    fv = fv[..., None]
     out = (s00 * (1 - fv) + s01 * fv) * (1 - fu) + (s10 * (1 - fv) + s11 * fv) * fu
     return jnp.where((idx >= 0)[..., None], out, 0.0)
 

@@ -16,8 +16,16 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from yart_tpu.ops.distribution import build_dist2d
+from yart_tpu.ops.distribution import build_alias
 from yart_tpu.scene.bvh import build_bvh, collapse_bvh8
+def _env_rows_from_image(img, pdf_cells):
+    # Lazy import: render.lights imports scene.types, whose package pulls
+    # in this module.
+    from yart_tpu.render.lights import env_rows_from_image
+
+    return env_rows_from_image(img, pdf_cells)
+
+
 from yart_tpu.scene.types import (
     CompiledScene,
     FlatBVH,
@@ -70,6 +78,7 @@ def _empty_stack(channels: int) -> TextureStack:
     return TextureStack(
         data=jnp.zeros((1, 1, channels), jnp.float32),
         table=jnp.zeros((0, 4), jnp.int32),
+        qrows=jnp.zeros((1, 4 * channels), jnp.float32),
     )
 
 
@@ -104,7 +113,12 @@ def _stack_from_list(textures: List[np.ndarray], channels: int) -> TextureStack:
     for i, t in enumerate(textures):
         x0, y0, tw, th = table[i]
         data[y0 : y0 + th, x0 : x0 + tw] = t.reshape(th, tw, channels)
-    return TextureStack(jnp.asarray(data), jnp.asarray(table))
+    from yart_tpu.render.texture import qrows_from_data
+
+    return TextureStack(
+        jnp.asarray(data), jnp.asarray(table),
+        qrows_from_data(jnp.asarray(data)),
+    )
 
 
 class SceneBuilder:
@@ -327,33 +341,53 @@ class SceneBuilder:
         center = (lo + hi) * 0.5
         radius = float(np.linalg.norm(hi - lo) * 0.5)
 
-        # Environment light (light.cpp:137-193).
+        # Environment light (light.cpp:137-193). Importance sampling is an
+        # alias table over the (W-1)x(H-1) bilinear base-cell grid so the
+        # sampling cell and the radiance fetch share one index (see
+        # scene/types.py env_* fields and render/lights.py).
         if self._env_image is not None:
             env_img = self._env_image * self._env_scale
             h, w = env_img.shape[:2]
+            wc, hc = max(w - 1, 1), max(h - 1, 1)
             # Octahedral maps cover the full sphere uniformly in area, so no
             # sin(theta) weight (the reference's sinTheta term at
             # light.cpp:157-168 is an acknowledged leftover from equirect —
-            # "TODO: do we need the sine term?"; we weight by mean RGB only).
-            weight = env_img.mean(axis=-1)
+            # "TODO: do we need the sine term?"; we weight by mean RGB). The
+            # cell weight integrates the bilinear quad (mean of corners).
+            texw = env_img.mean(axis=-1)
+            x1 = np.minimum(np.arange(wc) + 1, w - 1)
+            y1 = np.minimum(np.arange(hc) + 1, h - 1)
+            weight = 0.25 * (
+                texw[:hc, :wc] + texw[:hc, x1] + texw[y1, :wc]
+                + texw[y1][:, x1]
+            )
             # Portal crop (light.cpp:147-155): zero sampling weight outside
-            # the bounds rect (pixel-center test).
+            # the bounds rect (cell-center test).
             u0, vv0, u1, vv1 = self._env_bounds
             if (u0, vv0, u1, vv1) != (0.0, 0.0, 1.0, 1.0):
-                uc = (np.arange(w) + 0.5) / w
-                vc = (np.arange(h) + 0.5) / h
+                uc = (np.arange(wc) + 0.5) / wc
+                vc = (np.arange(hc) + 0.5) / hc
                 inside = (
                     ((uc >= u0) & (uc < u1))[None, :]
                     & ((vc >= vv0) & (vc < vv1))[:, None]
                 )
                 weight = np.where(inside, weight, 0.0)
-            env_dist = build_dist2d(weight)
+            prob, alias, pdf_cells = build_alias(weight)
+            env_alias = np.stack(
+                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
+                axis=1,
+            ).astype(np.float32)
             env_lavg = env_img.reshape(-1, 3).mean(axis=0)
             env_power = 4.0 * _PI * _PI * radius * radius * float(env_lavg.mean())
             has_env = True
         else:
             env_img = np.zeros((1, 1, 3), np.float32)
-            env_dist = build_dist2d(np.ones((1, 1), np.float32))
+            wc = hc = 1
+            prob, alias, pdf_cells = build_alias(np.ones(1, np.float32))
+            env_alias = np.stack(
+                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
+                axis=1,
+            ).astype(np.float32)
             env_lavg = np.zeros(3, np.float32)
             env_power = 0.0
             has_env = False
@@ -449,7 +483,11 @@ class SceneBuilder:
             light_norms=jnp.asarray(l_norms),
             env_image=jnp.asarray(env_img),
             env_bounds=jnp.asarray(self._env_bounds, jnp.float32),
-            env_dist=env_dist,
+            env_alias=jnp.asarray(env_alias),
+            env_pdf_cells=jnp.asarray(pdf_cells),
+            env_rows=_env_rows_from_image(
+                jnp.asarray(env_img), jnp.asarray(pdf_cells)
+            ),
             env_lavg=jnp.asarray(env_lavg, jnp.float32),
             env_power=jnp.asarray(env_power, jnp.float32),
             env_rotation=jnp.asarray(self._env_rotation),
@@ -472,6 +510,8 @@ class SceneBuilder:
             has_env=has_env,
             env_sampleable=self._env_sampleable,
             env_portal=self._env_bounds != (0.0, 0.0, 1.0, 1.0),
+            env_wc=wc,
+            env_hc=hc,
             max_leaf=max_leaf,
             bvh_depth=hb.depth,
             wide_depth=hb8.depth,

@@ -29,7 +29,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from yart_tpu.ops.distribution import Dist2D
 
 
 class MaterialTable(NamedTuple):
@@ -76,6 +75,11 @@ class TextureStack(NamedTuple):
 
     data: jnp.ndarray  # [H, W, C] float32 storage-encoded atlas
     table: jnp.ndarray  # [n_tex, 4] int32 (x0, y0, w, h) rects
+    # Per-texel 2x2 quad rows (render/texture.py qrows_from_data): one row
+    # gather serves a whole bilinear fetch — per-lane gathers cost ~10
+    # ns/row regardless of width (tools/diag_gather.py), so 4 separate
+    # corner gathers per sample were 4x the cost for the same bytes.
+    qrows: jnp.ndarray  # [H*W, 4C]
 
 
 class FlatBVH(NamedTuple):
@@ -123,10 +127,17 @@ class CompiledScene(NamedTuple):
     light_verts: jnp.ndarray  # [L, 3, 3] triangle vertices (prepacked)
     light_norms: jnp.ndarray  # [L, 3, 3] vertex normals (prepacked)
 
-    # Environment light (octahedral; src/core/light.cpp:137-242)
+    # Environment light (octahedral; src/core/light.cpp:137-242).
+    # Importance sampling is an alias table over the (W-1)x(H-1) bilinear
+    # base-cell grid (ops/distribution.py build_alias) — O(1), one row
+    # gather per draw; env_rows packs each cell's 2x2 texel quad + its
+    # sampling pdf so radiance AND pdf come from a single row fetch
+    # (per-lane gathers cost ~10 ns/row flat, tools/diag_gather.py).
     env_image: jnp.ndarray  # [H, W, 3] linear HDR (1x1 zeros if absent)
     env_bounds: jnp.ndarray  # [4] portal crop (u0, v0, u1, v1); full = 0,0,1,1
-    env_dist: Dist2D
+    env_alias: jnp.ndarray  # [K, 4] (prob, alias bits, pdf, pdf_alias)
+    env_pdf_cells: jnp.ndarray  # [K] uv-square density per cell
+    env_rows: jnp.ndarray  # [K, 16] 2x2 rgb quad (12) + pdf + pad(3)
     env_lavg: jnp.ndarray  # [3]
     env_power: jnp.ndarray  # []
     env_rotation: jnp.ndarray  # [3, 3] world->map rotation (light.cpp:208,228)
@@ -166,6 +177,8 @@ class SceneMeta:
     # contributes only on miss — pdf 0, never NEE-sampled.
     env_sampleable: bool = True
     env_portal: bool = False  # portal bounds crop active (light.cpp:147-155)
+    env_wc: int = 1  # env sampling grid = (W-1) x (H-1) bilinear base cells
+    env_hc: int = 1
     any_alpha: bool = False  # any material has alpha-tested transparency
     any_textures: bool = False
     any_transparent: bool = False  # any thin-transmissive (NEE-transparent) material
