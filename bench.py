@@ -36,6 +36,11 @@ BASELINE_LOCAL = os.path.join(ROOT, "BASELINE_LOCAL.json")
 DETAIL = os.path.join(ROOT, "BENCH_DETAIL.json")
 # Round-1 measurements (BASELINE.md) seed the trend baseline.
 R1_SEED = {"bigscene_closest_hit": 0.51, "cornell_mis": 13.44}
+# The reference's own closest-hit throughput on THIS machine (4-core Xeon
+# 2.1 GHz), measured with `tools/oracle/build.sh` + `oracle bench` on the
+# identical 132k-tri sphere-field workload (all hardware_concurrency
+# threads — the reference's production parallelism, tile-renderer.hpp:37).
+REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39}
 
 
 def bench_bigscene(results):
@@ -146,13 +151,85 @@ def bench_cornell(results):
     results["cornell_fwdbwd"] = total / (time.time() - t0) / 1e6
 
 
+def bench_atrium(results):
+    """Flagship-scale wave: the Sponza-class atrium (125k tris, textured,
+    sky HDRI) at 256^2 x 8 spp — forward and forward+backward Mrays/s.
+    This is the BASELINE.json project-metric shape ('rays/s/chip fwd+bwd
+    at Sponza 1spp') at a benchable batch size."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+    from yart_tpu.scene.showcase import atrium
+
+    size = (256, 256)
+    spp = 8
+    scene, meta = atrium().compile()
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=28.0, position=(-10.0, 1.8, 0.0),
+        forward=(18.0, 0.8, 0.0), exposure=3.0,
+    ))
+    cfg = RenderConfig(samples=spp, max_depth=8)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    w, h = size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidxs = [
+        jnp.asarray(np.roll(np.tile(np.arange(spp), h * w), r), jnp.uint32)
+        for r in range(4)
+    ]
+
+    fn = jax.jit(lambda s, px, py, si: render_wave(
+        s, meta, cam, sampler, cfg, px, py, si))
+    out, rays = fn(scene, px, py, sidxs[0])
+    float(jnp.sum(out[:8]))
+    reps = 3
+    t0 = time.time()
+    total = 0.0
+    for r in range(reps):
+        out, rays = fn(scene, px, py, sidxs[1 + r])
+        float(jnp.sum(out[:8]))
+        total += float(rays)
+    results["atrium_wave"] = total / (time.time() - t0) / 1e6
+
+    cfg_d = RenderConfig(samples=spp, max_depth=6, rr_start_depth=99)
+
+    def loss(base_color, scene, px, py, sidx):
+        s = scene._replace(
+            materials=scene.materials._replace(base_color=base_color)
+        )
+        radiance, rays = render_wave(
+            s, meta, cam, sampler, cfg_d, px, py, sidx, differentiable=True
+        )
+        return jnp.mean(radiance), rays
+
+    gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidxs[0])
+    float(jnp.sum(g[:4]))
+    t0 = time.time()
+    total = 0.0
+    for r in range(reps):
+        (val, rays), g = gfn(
+            scene.materials.base_color, scene, px, py, sidxs[1 + r]
+        )
+        float(jnp.sum(g[:4]))
+        total += float(rays)
+    results["atrium_fwdbwd"] = total / (time.time() - t0) / 1e6
+
+
 def main():
     from yart_tpu.cache import enable_compile_cache
 
     enable_compile_cache()
     results = {}
     errors = {}
-    for name, fn in (("bigscene", bench_bigscene), ("cornell", bench_cornell)):
+    for name, fn in (("bigscene", bench_bigscene), ("cornell", bench_cornell),
+                     ("atrium", bench_atrium)):
         try:
             fn(results)
         except Exception as e:  # keep the bench robust: report what ran
@@ -173,6 +250,11 @@ def main():
         "metrics": {k: round(v, 3) for k, v in results.items()},
         "vs_baseline": {
             k: round(v / prev[k], 3) for k, v in results.items() if prev.get(k)
+        },
+        "vs_reference_cpu": {
+            k: round(results[k] / REFERENCE[k], 3)
+            for k in REFERENCE
+            if k in results
         },
         "errors": errors,
     }

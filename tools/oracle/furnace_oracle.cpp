@@ -118,9 +118,148 @@ static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// bench mode: the reference's own closest-hit throughput (its hot contract,
+// src/cpu/ray-integrator.cpp:84-160) on the SAME 132k-triangle sphere-field
+// workload tools/perf_trace.py uses for the TPU build — a same-machine
+// hardware baseline for BENCH_DETAIL.json's bigscene metrics. Statistically
+// identical geometry/ray distributions (exact RNG parity is irrelevant for
+// throughput).
+#include <atomic>
+
+namespace {
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed * 2685821657736338717ull + 1) {}
+  uint64_t next() {
+    s ^= s << 13; s ^= s >> 7; s ^= s << 17; return s;
+  }
+  float uniform() { return float(next() >> 40) / float(1 << 24); }
+  float range(float lo, float hi) { return lo + (hi - lo) * uniform(); }
+  float normal() {
+    float u1 = std::max(uniform(), 1e-7f), u2 = uniform();
+    return std::sqrt(-2.0f * std::log(u1)) *
+           std::cos(2.0f * float(M_PI) * u2);
+  }
+};
+
+class BenchIntegrator : public cpu::RayIntegrator {
+public:
+  BenchIntegrator(Buffer& b, Camera& c, Sampler& s)
+      : cpu::RayIntegrator(b, c, s) {}
+  math::float3 Li(const Ray&) override { return math::float3(0); }
+  bool closest(const Ray& ray, cpu::Hit& hit) noexcept {
+    return testNode(ray, 1e-3f, hit, scene->root());
+  }
+};
+
+int benchMain(uint32_t nRays, bool coherent, uint32_t nThreads) {
+  using namespace math;
+  XorShift geo(7);
+  std::vector<float3> verts;
+  std::vector<VertexData> vdata;
+  std::vector<Face> faces;
+  uint32_t nt = 24, np = 48;
+  for (int sph = 0; sph < 60; sph++) {
+    float cx = geo.range(-6, 6), cy = geo.range(-6, 6), cz = geo.range(-6, 6);
+    float r = geo.range(0.4f, 1.2f);
+    uint32_t base = verts.size();
+    for (uint32_t i = 0; i <= nt; i++) {
+      float th = float(M_PI) * i / nt;
+      for (uint32_t j = 0; j < np; j++) {
+        float ph = 2.0f * float(M_PI) * j / np;
+        float3 n(std::sin(th) * std::cos(ph), std::cos(th),
+                 std::sin(th) * std::sin(ph));
+        verts.push_back(float3(cx, cy, cz) + n * r);
+        vdata.push_back({n, float4(1, 0, 0, 1), float2(0, 0)});
+      }
+    }
+    for (uint32_t i = 0; i < nt; i++)
+      for (uint32_t j = 0; j < np; j++) {
+        uint32_t j1 = (j + 1) % np;
+        uint32_t a = base + i * np + j, b = base + i * np + j1;
+        uint32_t c = base + (i + 1) * np + j, d = base + (i + 1) * np + j1;
+        if (i > 0) faces.push_back({a, b, c, 0});
+        if (i < nt - 1) faces.push_back({b, d, c, 0});
+      }
+  }
+  std::cout << "bench scene: " << faces.size() << " tris" << std::endl;
+
+  Scene scene((Node()));
+  scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
+      float3(1, 1, 1), nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+      0.0f, 0.4f, 0.0f, 1.5f, 0.0f, 0.0f, 0.0f, 0.0f, float3(0), 1.0f,
+      false, float3(1), 0.0f)));
+  auto t0 = std::chrono::steady_clock::now();
+  scene.addMesh(std::make_unique<Mesh>(verts, vdata, faces));  // SAH build
+  auto t1 = std::chrono::steady_clock::now();
+  std::cout << "bvh build: "
+            << std::chrono::duration<double>(t1 - t0).count() * 1e3 << " ms"
+            << std::endl;
+  scene.root().appendChild(Node(&scene.mesh(0)));
+
+  // Ray set matching tools/perf_trace.py make_rays.
+  std::vector<Ray> rays;
+  rays.reserve(nRays);
+  XorShift rr(11);
+  for (uint32_t i = 0; i < nRays; i++) {
+    float3 o, d;
+    if (coherent) {
+      o = float3(0, 0, 20);
+      d = float3(rr.range(-0.45f, 0.45f), rr.range(-0.45f, 0.45f), -1.0f);
+    } else {
+      o = float3(rr.range(-8, 8), rr.range(-8, 8), rr.range(-8, 8));
+      d = float3(rr.normal(), rr.normal(), rr.normal());
+    }
+    rays.emplace_back(o, normalized(d));
+  }
+
+  for (uint32_t pass = 0; pass < 2; pass++) {
+    uint32_t threads = pass == 0 ? 1 : nThreads;
+    std::atomic<uint64_t> hits{0};
+    auto tb = std::chrono::steady_clock::now();
+    std::vector<std::thread> pool;
+    uint32_t chunk = nRays / threads;
+    for (uint32_t t = 0; t < threads; t++) {
+      pool.emplace_back([&, t] {
+        Buffer buf(1, 1);
+        Camera cam(uint2(1, 1), 30.0f, 0.0f, float2(36, 24), float3(0),
+                   float3(0, 0, -1));
+        SobolSampler<FastOwenScrambler> smp(1, uint2(1, 1));
+        BenchIntegrator integ(buf, cam, smp);
+        integ.scene = &scene;
+        uint64_t h = 0;
+        uint32_t lo = t * chunk, hi = t == threads - 1 ? nRays : lo + chunk;
+        for (uint32_t i = lo; i < hi; i++) {
+          cpu::Hit hit;
+          if (integ.closest(rays[i], hit)) h++;
+        }
+        hits += h;
+      });
+    }
+    for (auto& th : pool) th.join();
+    auto te = std::chrono::steady_clock::now();
+    double dt = std::chrono::duration<double>(te - tb).count();
+    std::cout << "bench " << (coherent ? "coherent" : "incoherent")
+              << " threads=" << threads << ": " << nRays / dt / 1e6
+              << " Mrays/s (" << hits.load() << " hits)" << std::endl;
+  }
+  return 0;
+}
+
+}  // namespace
+
 int main(int argc, char** argv) {
   // argv: [mis|naive] [spp] [roughness] [metallic] [cornell|furnace]
   //       [dump_path] [res]
+  // or:   bench [n_rays] [coherent 0|1] [threads]
+  if (argc > 1 && std::string(argv[1]) == "bench") {
+    uint32_t n = argc > 2 ? atoi(argv[2]) : 262144;
+    bool coh = argc > 3 && atoi(argv[3]) != 0;
+    uint32_t th = argc > 4 ? atoi(argv[4]) : std::thread::hardware_concurrency();
+    return benchMain(n, coh, th);
+  }
   bool useMis = argc > 1 && std::string(argv[1]) == "mis";
   uint32_t spp = argc > 2 ? atoi(argv[2]) : 64;
   float roughness = argc > 3 ? atof(argv[3]) : 1.0f;

@@ -491,15 +491,18 @@ def roadster(paint=(0.62, 0.04, 0.05)) -> SceneBuilder:
             cidx.append([bb, bb + 1, a + 1])
     b.add_mesh(canopy.reshape(-1, 3), np.asarray(cidx, np.int64), m_glass)
 
-    # Wheels: tire torus + chrome hub.
+    # Wheels: tire torus (big circle in the X-Y plane so wheels roll along
+    # the car's long axis) + chrome hubcap (flattened sphere).
+    from yart_tpu.scene.procedural import uv_sphere
+
     for x, z in [(-1.35, 0.95), (-1.35, -0.95), (1.35, 0.95), (1.35, -0.95)]:
         tth = np.linspace(0, 2 * _PI, 64, endpoint=False)
         pth = np.linspace(0, 2 * _PI, 28, endpoint=False)
         T, P = np.meshgrid(tth, pth, indexing="ij")
-        R, r = 0.36, 0.12
-        wx = x + r * np.sin(P)
+        R, r = 0.34, 0.11
+        wx = x + (R + r * np.cos(P)) * np.cos(T)
         wy = 0.36 + (R + r * np.cos(P)) * np.sin(T)
-        wz = z + (R + r * np.cos(P)) * np.cos(T) * 0.4 / (R + r)  # squash
+        wz = z + r * np.sin(P)
         tor = np.stack([wx, wy, wz], -1).reshape(-1, 3)
         tidx = []
         for i in range(64):
@@ -509,11 +512,12 @@ def roadster(paint=(0.62, 0.04, 0.05)) -> SceneBuilder:
                 tidx.append([i * 28 + j, i2 * 28 + j, i * 28 + j2])
                 tidx.append([i2 * 28 + j, i2 * 28 + j2, i * 28 + j2])
         b.add_mesh(tor.astype(np.float32), np.asarray(tidx, np.int64), m_rubber)
-        hub_pos, hub_nrm, hub_uv, hub_idx = cylinder(
-            (x, 0.36 - 0.28, z * 1.02), 0.3, 0.0, seg=24, rings=1
-        )
-        # hub as a flat disc: reuse sphere-free cylinder cap
-        b.add_mesh(hub_pos, hub_idx, m_chrome, normals=hub_nrm, uvs=hub_uv)
+        hub_pos, hub_nrm, hub_tri = uv_sphere((0, 0, 0), 0.26, n_theta=12,
+                                              n_phi=24)
+        hub_pos = hub_pos.copy()
+        hub_pos[:, 2] *= 0.18  # flatten into a cap
+        hub_pos += np.asarray([x, 0.36, z * 1.04], np.float32)
+        b.add_mesh(hub_pos, hub_tri, m_chrome, normals=None)
 
     # Splitter + diffuser accents
     for c, h in [((0.0, 0.16, 0.0), (2.0, 0.05, 1.0))]:
