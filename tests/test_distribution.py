@@ -58,3 +58,56 @@ def test_histogram_matches_density():
     np.testing.assert_allclose(q11, 0.25, atol=2e-2)
     np.testing.assert_allclose(q22, 0.75, atol=2e-2)
     assert ((uv[:, 0] >= 0.5) & (uv[:, 1] < 0.5)).mean() < 1e-3
+
+
+def _alias_rows(w):
+    prob, alias, pdf = dist.build_alias(w)
+    return jnp.asarray(np.stack(
+        [prob, alias.view(np.float32), pdf, pdf[alias]], axis=1
+    ).astype(np.float32))
+
+
+def test_alias_frequencies_match_weights():
+    """Walker alias sampling reproduces the target distribution and returns
+    its exact realized pdf (the production env-sampling path)."""
+    rng = np.random.default_rng(9)
+    w = rng.random(64) ** 3  # spiky
+    rows = _alias_rows(w)
+    u = jnp.asarray(rng.random(1 << 17, dtype=np.float64).astype(np.float32))
+    cell, pdf, r = dist.sample_alias_rows(rows, u)
+    cell = np.asarray(cell)
+    hist = np.bincount(cell, minlength=64) / cell.shape[0]
+    target = w / w.sum()
+    np.testing.assert_allclose(hist, target, atol=4e-3)
+    # pdf is exactly the cell's density (value / mean)
+    np.testing.assert_allclose(
+        np.asarray(pdf), (w * 64 / w.sum())[cell], rtol=1e-5
+    )
+    # leftover entropy is uniform in [0, 1)
+    r = np.asarray(r)
+    assert 0.0 <= r.min() and r.max() < 1.0
+    np.testing.assert_allclose(r.mean(), 0.5, atol=5e-3)
+    np.testing.assert_allclose(r.std(), 12 ** -0.5, atol=5e-3)
+
+
+def test_alias_importance_estimates_integral():
+    """E[f(cell)/pdf(cell)] == mean(f) for alias draws (unbiasedness of the
+    env NEE estimator under the alias sampler)."""
+    rng = np.random.default_rng(10)
+    w = rng.random(128) + 0.05
+    f = rng.random(128)
+    rows = _alias_rows(w)
+    u = jnp.asarray(rng.random(1 << 17, dtype=np.float64).astype(np.float32))
+    cell, pdf, _ = dist.sample_alias_rows(rows, u)
+    est = (f[np.asarray(cell)] / np.asarray(pdf)).mean()
+    np.testing.assert_allclose(est, f.mean(), rtol=1e-2)
+
+
+def test_alias_zero_weights_never_sampled():
+    w = np.asarray([0.0, 1.0, 0.0, 2.0])
+    rows = _alias_rows(w)
+    u = jnp.asarray(np.random.default_rng(11).random(4096, np.float32))
+    cell, pdf, _ = dist.sample_alias_rows(rows, u)
+    cell = np.asarray(cell)
+    assert set(np.unique(cell)) <= {1, 3}
+    assert (np.asarray(pdf) > 0).all()
