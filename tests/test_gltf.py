@@ -142,3 +142,41 @@ def test_glb_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scene.light_power), [expected, expected], rtol=1e-5
     )
+
+
+def test_glb_shared_mesh_instanced(tmp_path):
+    """A mesh referenced by multiple nodes compiles as one prototype with
+    per-node instances (gltf shares meshes across nodes; baking would
+    duplicate the per-tri data)."""
+    path = _build_glb(tmp_path)
+    import json as _json
+    import struct as _struct
+
+    raw = open(path, "rb").read()
+    js_len = _struct.unpack("<I", raw[12:16])[0]
+    doc = _json.loads(raw[20 : 20 + js_len])
+    doc["nodes"] = [
+        {"mesh": 0, "translation": [0.0, 0.0, 0.0]},
+        {"mesh": 0, "translation": [3.0, 0.0, 0.0]},
+        {"mesh": 0, "translation": [0.0, 3.0, 0.0], "scale": [2, 2, 2]},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1, 2]}]
+    js = _json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    rest = raw[20 + js_len:]
+    glb = (
+        _struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + len(rest))
+        + _struct.pack("<II", len(js), 0x4E4F534A)
+        + js
+        + rest
+    )
+    p2 = tmp_path / "shared.glb"
+    p2.write_bytes(glb)
+
+    b = load(str(p2))
+    scene, meta = b.compile()
+    assert meta.n_instances == 3
+    assert len(scene.protos) == 1  # ONE prototype shared by all nodes
+    assert meta.n_tris == 3 * meta.proto_metas[0].n_tris
+    # The emissive material registers lights per instance.
+    assert meta.n_lights == 3 * meta.proto_metas[0].n_tris

@@ -63,22 +63,56 @@ class Shading(NamedTuple):
 
 def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
     tri = jnp.clip(hit.tri, 0, meta.n_tris - 1)
-    # ONE packed row gather: vertex normals, uvs, tangents, mat, light.
-    row = scene.shade_pack[tri]  # [N, 32]
+    if meta.n_instances:
+        # Instanced: the virtual tri id maps to (shared shade row,
+        # instance, light, material) via ONE tri_aux row gather; normals
+        # and tangents are stored in prototype object space and rotated to
+        # world below.
+        aux = scene.tri_aux[tri]  # [N, 8] i32
+        row = scene.shade_pack[aux[..., 0]]
+        irow = scene.inst_rows[aux[..., 1]]  # [N, 40]
+    else:
+        # ONE packed row gather: vertex normals, uvs, tangents, mat, light.
+        row = scene.shade_pack[tri]  # [N, 32]
     w = (1.0 - hit.u - hit.v)[..., None]
     u = hit.u[..., None]
     v = hit.v[..., None]
 
     n = normalize(w * row[..., 0:3] + u * row[..., 3:6] + v * row[..., 6:9])
     uv = w * row[..., 9:11] + u * row[..., 11:13] + v * row[..., 13:15]
-    mat_idx = lax.bitcast_convert_type(row[..., 27], jnp.int32)
-    light_idx = lax.bitcast_convert_type(row[..., 28], jnp.int32)
+    if meta.n_instances:
+        mat_idx = aux[..., 3]
+        light_idx = aux[..., 2]
+        # Normal matrix (inverse-transpose) rows at cols 24:33; elementwise
+        # broadcast FMAs (a batched [N,3,3]x[N,3] einsum lowers to N tiny
+        # matmuls on TPU — pathological).
+        mm = lambda m9, x: jnp.stack(
+            [
+                jnp.sum(m9[..., 0:3] * x, axis=-1),
+                jnp.sum(m9[..., 3:6] * x, axis=-1),
+                jnp.sum(m9[..., 6:9] * x, axis=-1),
+            ],
+            axis=-1,
+        )
+        n = normalize(mm(irow[..., 24:33], n))
+    else:
+        mat_idx = lax.bitcast_convert_type(row[..., 27], jnp.int32)
+        light_idx = lax.bitcast_convert_type(row[..., 28], jnp.int32)
 
     # Normal mapping through the interpolated tangent frame (bsdf.cpp:44-58).
     if meta.any_textures:
         t4 = (
             w * row[..., 15:19] + u * row[..., 19:23] + v * row[..., 23:27]
         )
+        if meta.n_instances:
+            # Tangents transform by the forward linear part (rows of the
+            # 3x4 at cols 12:24 are [R | t] — use R columns only).
+            fwd9 = jnp.concatenate(
+                [irow[..., 12:15], irow[..., 16:19], irow[..., 20:23]],
+                axis=-1,
+            )
+            t_xyz = normalize(mm(fwd9, t4[..., :3]))
+            t4 = jnp.concatenate([t_xyz, t4[..., 3:4]], axis=-1)
         tn_idx = onehot_matmul(
             scene.materials.tex_normal.astype(jnp.float32)[:, None], mat_idx
         )[..., 0].astype(jnp.int32)

@@ -863,6 +863,72 @@ def intersect_bvh_sorted(
     return Hit(*(unsort(a) for a in flat))
 
 
+
+def _intersect_instanced(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    o,
+    d,
+    t_max,
+    t_min: float = 1e-3,
+    nee: bool = False,
+    alpha_seed=None,
+):
+    """Closest hit (or NEE any-hit) over instanced prototypes.
+
+    The reference's testNode transforms the ray into each node's object
+    space and recurses (src/cpu/ray-integrator.cpp:20-54). Here: a static
+    Python loop over instances, each running the full prototype traversal
+    (whatever path intersect() picks for that prototype's size) on rays
+    mapped by the UNNORMALIZED inverse transform — o' = M^-1 o,
+    d' = M^-1_lin d keeps the hit parameter t equal to the world
+    parameter, so closest-hit merging across instances is a plain min and
+    the running best t tightens every later instance's traversal.
+    Triangle ids are lifted to the per-instance virtual range
+    (scene.inst_tri_base) so shading can recover (instance, shade row,
+    light) from tri_aux. NEE composition across instances is order-free:
+    occlusion ORs, transparent-shadow attenuation multiplies
+    (mis-integrator.cpp:135-148 semantics)."""
+    n = o.shape[0]
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    best = Hit(
+        t_max_v,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), bool),
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n,), bool),
+    )
+    atten = jnp.ones((n, 3), jnp.float32)
+    for i, p in enumerate(meta.inst_proto):
+        row = scene.inst_rows[i]  # static index: [40]
+        rm = row[0:12].reshape(3, 4)
+        o_l = o @ rm[:, :3].T + rm[:, 3]
+        d_l = d @ rm[:, :3].T
+        h = intersect(
+            scene.protos[p], meta.proto_metas[p], o_l, d_l,
+            t_max_v if nee else best.t, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
+        if nee:
+            atten = atten * h.attenuation
+            best = best._replace(mask=best.mask | h.mask)
+        else:
+            better = h.mask & (h.t < best.t)
+            best = Hit(
+                jnp.where(better, h.t, best.t),
+                jnp.where(better, h.tri + scene.inst_tri_base[i], best.tri),
+                jnp.where(better, h.u, best.u),
+                jnp.where(better, h.v, best.v),
+                jnp.where(better, h.back_side, best.back_side),
+                best.attenuation,
+                best.mask | better,
+            )
+    if nee:
+        best = best._replace(attenuation=atten)
+    return best
+
 def intersect(
     scene: CompiledScene,
     meta: SceneMeta,
@@ -877,7 +943,14 @@ def intersect(
     """Dispatch: fused Pallas brute kernel for small scenes on TPU, XLA brute
     for small scenes elsewhere, bin-trace (render/bintrace.py) for large
     scenes, stack BVH traversal for large scenes needing per-hit gates
-    (stochastic alpha, NEE transparency)."""
+    (stochastic alpha, NEE transparency). Instanced scenes traverse each
+    instance's prototype in object space and merge (see
+    _intersect_instanced)."""
+    if meta.n_instances:
+        return _intersect_instanced(
+            scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+            alpha_seed=alpha_seed,
+        )
     gates = meta.any_alpha or (nee and meta.any_transparent)
     if use_bvh is None:
         use_bvh = meta.n_tris > 4096

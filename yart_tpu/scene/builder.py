@@ -131,6 +131,8 @@ class SceneBuilder:
         self._tris: List[np.ndarray] = []
         self._tri_mat: List[np.ndarray] = []
         self._vtx_offset = 0
+        self._protos: List[dict] = []
+        self._instances: List[tuple] = []
         self._env_image: Optional[np.ndarray] = None
         self._env_scale = 1.0
         self._env_rotation = np.eye(3, dtype=np.float32)
@@ -220,6 +222,61 @@ class SceneBuilder:
         self._tri_mat.append(mat)
         self._vtx_offset += nv
 
+    def add_prototype(
+        self,
+        positions: np.ndarray,
+        indices: np.ndarray,
+        material,
+        normals: Optional[np.ndarray] = None,
+        uvs: Optional[np.ndarray] = None,
+        tangents: Optional[np.ndarray] = None,
+    ) -> int:
+        """Register an object-space prototype mesh for instancing. The
+        reference shares one Mesh across scene-graph Nodes
+        (src/core/scene.hpp:48-66); here a prototype owns its heavy
+        per-triangle data (traversal packs, shading rows) ONCE and each
+        instance adds a transform plus 4-byte/tri id maps. Returns the
+        prototype id for `add_instance`."""
+        positions = np.asarray(positions, np.float64).reshape(-1, 3)
+        indices = np.asarray(indices, np.int64).reshape(-1, 3)
+        nv = positions.shape[0]
+        if normals is None:
+            normals = _face_normals_to_vertices(positions, indices)
+        normals = np.asarray(normals, np.float64).reshape(nv, 3)
+        if uvs is None:
+            uvs = np.zeros((nv, 2), np.float64)
+        uvs = np.asarray(uvs, np.float64).reshape(nv, 2)
+        if tangents is None:
+            tangents = np.zeros((nv, 4), np.float64)
+            tangents[:, 0] = 1.0
+            tangents[:, 3] = 1.0
+        tangents = np.asarray(tangents, np.float64).reshape(nv, 4)
+        t = indices.shape[0]
+        mat = np.broadcast_to(np.asarray(material, np.int32), (t,)).copy()
+        self._protos.append(
+            dict(positions=positions, normals=normals, uvs=uvs,
+                 tangents=tangents, tris=indices, tri_mat=mat)
+        )
+        return len(self._protos) - 1
+
+    def add_instance(self, proto: int, transform=None) -> None:
+        """Instance a prototype with an optional [4, 4] row-major affine
+        transform. Mirrored transforms (negative determinant) are rejected:
+        they flip triangle winding, which would silently invert the
+        back-side/volume semantics (parametric.cpp:834-838)."""
+        m = (
+            np.eye(4, dtype=np.float64)
+            if transform is None
+            else np.asarray(transform, np.float64).reshape(4, 4)
+        )
+        det = np.linalg.det(m[:3, :3])
+        if det <= 0:
+            raise ValueError(
+                f"instance transform must be orientation-preserving "
+                f"(det={det:g})"
+            )
+        self._instances.append((int(proto), m))
+
     def set_env(
         self, image: np.ndarray, scale: float = 1.0, rotation=None,
         bounds=None,
@@ -257,9 +314,67 @@ class SceneBuilder:
     def set_background(self, color) -> None:
         self._background = tuple(color)
 
+    def _compile_env(self, radius: float) -> dict:
+        # Environment light (light.cpp:137-193). Importance sampling is an
+        # alias table over the (W-1)x(H-1) bilinear base-cell grid so the
+        # sampling cell and the radiance fetch share one index (see
+        # scene/types.py env_* fields and render/lights.py).
+        if self._env_image is not None:
+            env_img = self._env_image * self._env_scale
+            h, w = env_img.shape[:2]
+            wc, hc = max(w - 1, 1), max(h - 1, 1)
+            # Octahedral maps cover the full sphere uniformly in area, so no
+            # sin(theta) weight (the reference's sinTheta term at
+            # light.cpp:157-168 is an acknowledged leftover from equirect —
+            # "TODO: do we need the sine term?"; we weight by mean RGB). The
+            # cell weight integrates the bilinear quad (mean of corners).
+            texw = env_img.mean(axis=-1)
+            x1 = np.minimum(np.arange(wc) + 1, w - 1)
+            y1 = np.minimum(np.arange(hc) + 1, h - 1)
+            weight = 0.25 * (
+                texw[:hc, :wc] + texw[:hc, x1] + texw[y1, :wc]
+                + texw[y1][:, x1]
+            )
+            # Portal crop (light.cpp:147-155): zero sampling weight outside
+            # the bounds rect (cell-center test).
+            u0, vv0, u1, vv1 = self._env_bounds
+            if (u0, vv0, u1, vv1) != (0.0, 0.0, 1.0, 1.0):
+                uc = (np.arange(wc) + 0.5) / wc
+                vc = (np.arange(hc) + 0.5) / hc
+                inside = (
+                    ((uc >= u0) & (uc < u1))[None, :]
+                    & ((vc >= vv0) & (vc < vv1))[:, None]
+                )
+                weight = np.where(inside, weight, 0.0)
+            prob, alias, pdf_cells = build_alias(weight)
+            env_alias = np.stack(
+                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
+                axis=1,
+            ).astype(np.float32)
+            env_lavg = env_img.reshape(-1, 3).mean(axis=0)
+            env_power = 4.0 * _PI * _PI * radius * radius * float(env_lavg.mean())
+            has_env = True
+        else:
+            env_img = np.zeros((1, 1, 3), np.float32)
+            wc = hc = 1
+            prob, alias, pdf_cells = build_alias(np.ones(1, np.float32))
+            env_alias = np.stack(
+                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
+                axis=1,
+            ).astype(np.float32)
+            env_lavg = np.zeros(3, np.float32)
+            env_power = 0.0
+            has_env = False
+
+        return dict(env_img=env_img, env_alias=env_alias,
+                pdf_cells=pdf_cells, env_lavg=env_lavg,
+                env_power=env_power, has_env=has_env, wc=wc, hc=hc)
+
     # -- compile -----------------------------------------------------------
 
     def compile(self, max_leaf: int = 4, n_bins: int = 20, cluster_size: int = 128):
+        if self._instances:
+            return self._compile_instanced(max_leaf, n_bins, cluster_size)
         assert self._tris, "scene has no geometry"
         positions = np.concatenate(self._positions)
         normals = np.concatenate(self._normals)
@@ -341,56 +456,14 @@ class SceneBuilder:
         center = (lo + hi) * 0.5
         radius = float(np.linalg.norm(hi - lo) * 0.5)
 
-        # Environment light (light.cpp:137-193). Importance sampling is an
-        # alias table over the (W-1)x(H-1) bilinear base-cell grid so the
-        # sampling cell and the radiance fetch share one index (see
-        # scene/types.py env_* fields and render/lights.py).
-        if self._env_image is not None:
-            env_img = self._env_image * self._env_scale
-            h, w = env_img.shape[:2]
-            wc, hc = max(w - 1, 1), max(h - 1, 1)
-            # Octahedral maps cover the full sphere uniformly in area, so no
-            # sin(theta) weight (the reference's sinTheta term at
-            # light.cpp:157-168 is an acknowledged leftover from equirect —
-            # "TODO: do we need the sine term?"; we weight by mean RGB). The
-            # cell weight integrates the bilinear quad (mean of corners).
-            texw = env_img.mean(axis=-1)
-            x1 = np.minimum(np.arange(wc) + 1, w - 1)
-            y1 = np.minimum(np.arange(hc) + 1, h - 1)
-            weight = 0.25 * (
-                texw[:hc, :wc] + texw[:hc, x1] + texw[y1, :wc]
-                + texw[y1][:, x1]
-            )
-            # Portal crop (light.cpp:147-155): zero sampling weight outside
-            # the bounds rect (cell-center test).
-            u0, vv0, u1, vv1 = self._env_bounds
-            if (u0, vv0, u1, vv1) != (0.0, 0.0, 1.0, 1.0):
-                uc = (np.arange(wc) + 0.5) / wc
-                vc = (np.arange(hc) + 0.5) / hc
-                inside = (
-                    ((uc >= u0) & (uc < u1))[None, :]
-                    & ((vc >= vv0) & (vc < vv1))[:, None]
-                )
-                weight = np.where(inside, weight, 0.0)
-            prob, alias, pdf_cells = build_alias(weight)
-            env_alias = np.stack(
-                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
-                axis=1,
-            ).astype(np.float32)
-            env_lavg = env_img.reshape(-1, 3).mean(axis=0)
-            env_power = 4.0 * _PI * _PI * radius * radius * float(env_lavg.mean())
-            has_env = True
-        else:
-            env_img = np.zeros((1, 1, 3), np.float32)
-            wc = hc = 1
-            prob, alias, pdf_cells = build_alias(np.ones(1, np.float32))
-            env_alias = np.stack(
-                [prob, alias.view(np.float32), pdf_cells, pdf_cells[alias]],
-                axis=1,
-            ).astype(np.float32)
-            env_lavg = np.zeros(3, np.float32)
-            env_power = 0.0
-            has_env = False
+        env = self._compile_env(radius)
+        env_img = env["env_img"]
+        env_alias = env["env_alias"]
+        pdf_cells = env["pdf_cells"]
+        env_lavg = env["env_lavg"]
+        env_power = env["env_power"]
+        has_env = env["has_env"]
+        wc, hc = env["wc"], env["hc"]
 
         materials = _material_table(self._materials)
 
@@ -548,6 +621,288 @@ class SceneBuilder:
                 or m.tex_emission >= 0
                 for m in self._materials
             ),
+        )
+        return scene, meta
+
+    def _compile_instanced(self, max_leaf: int, n_bins: int,
+                           cluster_size: int):
+        """Compile a scene with instanced prototypes.
+
+        Per-prototype traversal data (SAH BVH, cluster packs, shading rows)
+        is compiled ONCE in object space via a nested compile; instances
+        contribute a [4, 4] transform row, per-virtual-triangle id maps
+        (tri_aux, 4 B/column/tri), and world-space area-light registration.
+        Traversal runs per instance with rays mapped into object space by
+        the UNNORMALIZED inverse transform, so the hit parameter t is the
+        world parameter and closest-hit merging across instances is a plain
+        min (render/intersect.py _intersect_instanced)."""
+        import dataclasses as _dc
+
+        # Legacy add_mesh records (already world space) join as identity
+        # instances of their own prototypes so mixed scenes compile
+        # uniformly.
+        if self._tris:
+            v_off = 0
+            for k in range(len(self._tris)):
+                nv = self._positions[k].shape[0]
+                pid = len(self._protos)
+                self._protos.append(dict(
+                    positions=self._positions[k].astype(np.float64),
+                    normals=self._normals[k].astype(np.float64),
+                    uvs=self._uvs[k].astype(np.float64),
+                    tangents=self._tangents[k].astype(np.float64),
+                    tris=(self._tris[k].astype(np.int64) - v_off),
+                    tri_mat=self._tri_mat[k],
+                ))
+                self._instances.append((pid, np.eye(4, dtype=np.float64)))
+                v_off += nv
+            self._positions = []
+            self._normals = []
+            self._uvs = []
+            self._tangents = []
+            self._tris = []
+            self._tri_mat = []
+            self._vtx_offset = 0
+
+        # --- per-prototype object-space traversal compiles ---
+        proto_scenes = []
+        proto_metas = []
+        for pr in self._protos:
+            sb = SceneBuilder()
+            sb._materials = self._materials  # shared (no copy)
+            sb.add_mesh(
+                pr["positions"], pr["tris"], pr["tri_mat"],
+                normals=pr["normals"], uvs=pr["uvs"],
+                tangents=pr["tangents"],
+            )
+            ps, pm = sb.compile(
+                max_leaf=max_leaf, n_bins=n_bins, cluster_size=cluster_size
+            )
+            proto_scenes.append(ps)
+            proto_metas.append(pm)
+
+        n_proto = len(self._protos)
+        inst_proto = tuple(int(p) for p, _ in self._instances)
+        n_inst = len(self._instances)
+        proto_ntris = [int(ps.tri_v.shape[0]) for ps in proto_scenes]
+        proto_shade_base = np.concatenate(
+            [[0], np.cumsum(proto_ntris)]
+        ).astype(np.int64)
+        inst_ntris = np.asarray([proto_ntris[p] for p in inst_proto])
+        inst_tri_base = np.concatenate(
+            [[0], np.cumsum(inst_ntris)]
+        ).astype(np.int64)
+        n_virt = int(inst_tri_base[-1])
+
+        # Host views of per-proto leaf-ordered triangle data.
+        proto_v012 = [np.asarray(ps.tri_pack[:, 0:9]) for ps in proto_scenes]
+        proto_nrm9 = [
+            np.asarray(ps.shade_pack[:, 0:9]) for ps in proto_scenes
+        ]
+        proto_mat = [np.asarray(ps.tri_mat) for ps in proto_scenes]
+
+        # Instance transform rows: inverse 3x4 (world->object, rays),
+        # forward 3x4 (points/tangents), normal matrix 3x3 (inv-transpose).
+        inst_rows = np.zeros((n_inst, 40), np.float32)
+        emission_table = np.asarray(
+            [
+                np.asarray(m.emission, np.float32)
+                * np.float32(m.emission_strength)
+                for m in self._materials
+            ]
+            or np.zeros((0, 3), np.float32),
+            np.float32,
+        )
+        emissive_mats = np.asarray(
+            [m.is_emissive for m in self._materials], bool
+        )
+        ts_table = np.asarray(
+            [m.two_sided for m in self._materials] or [False], bool
+        )
+
+        tri_aux = np.zeros((max(n_virt, 1), 8), np.int32)
+        lights = dict(tri=[], emission=[], area=[], two=[], verts=[],
+                      norms=[])
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        n_light = 0
+        for i, (p, m) in enumerate(self._instances):
+            inv = np.linalg.inv(m)
+            nrm_m = np.linalg.inv(m[:3, :3]).T
+            inst_rows[i, 0:12] = inv[:3, :4].reshape(-1)
+            inst_rows[i, 12:24] = m[:3, :4].reshape(-1)
+            inst_rows[i, 24:33] = nrm_m.reshape(-1)
+
+            base = int(inst_tri_base[i])
+            tp = proto_ntris[p]
+            sl = slice(base, base + tp)
+            tri_aux[sl, 0] = (
+                proto_shade_base[p] + np.arange(tp)
+            ).astype(np.int32)
+            tri_aux[sl, 1] = i
+            tri_aux[sl, 2] = -1
+            tri_aux[sl, 3] = proto_mat[p]
+
+            # Instance world bounds from the prototype vertex bounds'
+            # 8 transformed corners.
+            pl = self._protos[p]["positions"].min(axis=0)
+            ph = self._protos[p]["positions"].max(axis=0)
+            cs = np.array(
+                [[x, y, z] for x in (pl[0], ph[0]) for y in (pl[1], ph[1])
+                 for z in (pl[2], ph[2])]
+            )
+            wc8 = cs @ m[:3, :3].T + m[:3, 3]
+            lo = np.minimum(lo, wc8.min(axis=0))
+            hi = np.maximum(hi, wc8.max(axis=0))
+
+            # Area lights per emissive instance triangle (world space).
+            em_mask = (
+                emissive_mats[proto_mat[p]]
+                if len(self._materials)
+                else np.zeros(tp, bool)
+            )
+            em_idx = np.nonzero(em_mask)[0]
+            if em_idx.size:
+                v9 = proto_v012[p][em_idx]  # [E, 9] object space
+                v = v9.reshape(-1, 3, 3) @ m[:3, :3].T + m[:3, 3]
+                nn = proto_nrm9[p][em_idx].reshape(-1, 3, 3) @ nrm_m.T
+                nn = nn / np.maximum(
+                    np.linalg.norm(nn, axis=-1, keepdims=True), 1e-20
+                )
+                tri_aux[base + em_idx, 2] = (
+                    n_light + np.arange(em_idx.size)
+                ).astype(np.int32)
+                lights["tri"].append(base + em_idx)
+                lights["emission"].append(
+                    emission_table[proto_mat[p][em_idx]]
+                )
+                e1 = v[:, 1] - v[:, 0]
+                e2 = v[:, 2] - v[:, 0]
+                lights["area"].append(
+                    0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+                )
+                lights["two"].append(ts_table[proto_mat[p][em_idx]])
+                lights["verts"].append(v)
+                lights["norms"].append(nn)
+                n_light += em_idx.size
+
+        if n_light:
+            light_tri = np.concatenate(lights["tri"]).astype(np.int32)
+            l_emission = np.concatenate(lights["emission"]).astype(np.float32)
+            l_area = np.concatenate(lights["area"]).astype(np.float32)
+            two_sided = np.concatenate(lights["two"])
+            l_verts = np.concatenate(lights["verts"]).astype(np.float32)
+            l_norms = np.concatenate(lights["norms"]).astype(np.float32)
+        else:
+            light_tri = np.zeros(0, np.int32)
+            l_emission = np.zeros((0, 3), np.float32)
+            l_area = np.zeros(0, np.float32)
+            two_sided = np.zeros(0, bool)
+            l_verts = np.zeros((0, 3, 3), np.float32)
+            l_norms = np.zeros((0, 3, 3), np.float32)
+        l_power = (
+            np.linalg.norm(l_emission, axis=-1) * l_area * _PI
+            * np.where(two_sided, 2.0, 1.0)
+        ).astype(np.float32)
+        l_cdf = np.concatenate([[0.0], np.cumsum(l_power)]).astype(np.float32)
+
+        center = (lo + hi) * 0.5
+        radius = float(np.linalg.norm(hi - lo) * 0.5)
+        env = self._compile_env(radius)
+        materials = _material_table(self._materials)
+        tex_rgba = _stack_from_list(self.textures_rgba, 4)
+        tex_rgb = _stack_from_list(self.textures_rgb, 3)
+        tex_2ch = _stack_from_list(self.textures_2ch, 2)
+        tex_mono = _stack_from_list(self.textures_mono, 1)
+
+        # Share one materials table + texture stacks across the prototype
+        # scenes (their per-hit gates fetch textures during traversal).
+        proto_scenes = [
+            ps._replace(
+                materials=materials, tex_rgba=tex_rgba, tex_rgb=tex_rgb,
+                tex_2ch=tex_2ch, tex_mono=tex_mono,
+            )
+            for ps in proto_scenes
+        ]
+
+        shade_pack = np.concatenate(
+            [np.asarray(ps.shade_pack) for ps in proto_scenes]
+        )
+
+        z1 = jnp.zeros((1,), jnp.float32)
+        z13 = jnp.zeros((1, 3), jnp.float32)
+        zi1 = jnp.zeros((1,), jnp.int32)
+        dummy_bvh = FlatBVH(node_min=z13, node_max=z13, left=zi1, count=zi1)
+        scene = CompiledScene(
+            positions=z13,
+            normals=z13,
+            tangents=jnp.zeros((1, 4), jnp.float32),
+            uvs=jnp.zeros((1, 2), jnp.float32),
+            tri_v=jnp.zeros((1, 3), jnp.int32),
+            tri_mat=zi1,
+            tri_light=zi1,
+            bvh=dummy_bvh,
+            node_pack=jnp.zeros((1, 8), jnp.float32),
+            wide_pack=jnp.zeros((1, 56), jnp.float32),
+            tri_pack=jnp.zeros((1, 12), jnp.float32),
+            shade_pack=jnp.asarray(shade_pack),
+            materials=materials,
+            light_tri=jnp.asarray(light_tri),
+            light_emission=jnp.asarray(l_emission),
+            light_area=jnp.asarray(l_area),
+            light_power=jnp.asarray(l_power),
+            light_cdf=jnp.asarray(l_cdf),
+            light_two_sided=jnp.asarray(two_sided),
+            light_verts=jnp.asarray(l_verts),
+            light_norms=jnp.asarray(l_norms),
+            env_image=jnp.asarray(env["env_img"]),
+            env_bounds=jnp.asarray(self._env_bounds, jnp.float32),
+            env_alias=jnp.asarray(env["env_alias"]),
+            env_pdf_cells=jnp.asarray(env["pdf_cells"]),
+            env_rows=_env_rows_from_image(
+                jnp.asarray(env["env_img"]), jnp.asarray(env["pdf_cells"])
+            ),
+            env_lavg=jnp.asarray(env["env_lavg"], jnp.float32),
+            env_power=jnp.asarray(env["env_power"], jnp.float32),
+            env_rotation=jnp.asarray(self._env_rotation),
+            tex_rgba=tex_rgba,
+            tex_rgb=tex_rgb,
+            tex_2ch=tex_2ch,
+            tex_mono=tex_mono,
+            scene_center=jnp.asarray(center, jnp.float32),
+            scene_radius=jnp.asarray(radius, jnp.float32),
+            background=jnp.asarray(self._background, jnp.float32),
+            clus_pack=jnp.zeros((1, 8, 3), jnp.float32),
+            clus_first=zi1,
+            coarse_pack=jnp.zeros((1, 56), jnp.float32),
+            clus_box=jnp.zeros((8, 128), jnp.float32),
+            protos=tuple(proto_scenes),
+            inst_rows=jnp.asarray(inst_rows),
+            inst_tri_base=jnp.asarray(inst_tri_base[:-1], jnp.int32),
+            tri_aux=jnp.asarray(tri_aux),
+        )
+        meta = SceneMeta(
+            n_tris=n_virt,
+            n_materials=len(self._materials),
+            n_lights=int(light_tri.size),
+            has_env=env["has_env"],
+            env_sampleable=self._env_sampleable,
+            env_portal=self._env_bounds != (0.0, 0.0, 1.0, 1.0),
+            env_wc=env["wc"],
+            env_hc=env["hc"],
+            max_leaf=max_leaf,
+            bvh_depth=1,
+            wide_depth=1,
+            any_alpha=proto_metas[0].any_alpha,
+            any_transparent=proto_metas[0].any_transparent,
+            any_metallic=proto_metas[0].any_metallic,
+            any_transmissive=proto_metas[0].any_transmissive,
+            any_clearcoat=proto_metas[0].any_clearcoat,
+            any_anisotropy=proto_metas[0].any_anisotropy,
+            any_textures=proto_metas[0].any_textures,
+            n_instances=n_inst,
+            inst_proto=inst_proto,
+            proto_metas=tuple(proto_metas),
         )
         return scene, meta
 

@@ -314,14 +314,48 @@ def load(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
     nodes = g.doc.get("nodes", [])
     scene_desc = g.doc.get("scenes", [{}])[g.doc.get("scene", 0)]
 
+    # Meshes referenced by MORE than one node become instanced prototypes
+    # (the reference shares one Mesh across Nodes, scene.hpp:48-66; baking
+    # would duplicate the heavy per-tri data per reference). Mirrored node
+    # transforms (negative determinant) fall back to baking.
+    mesh_refs: dict[int, int] = {}
+
+    def count(node_idx: int):
+        node = nodes[node_idx]
+        if "mesh" in node:
+            mesh_refs[node["mesh"]] = mesh_refs.get(node["mesh"], 0) + 1
+        for child in node.get("children", []):
+            count(child)
+
+    for root in scene_desc.get("nodes", range(len(nodes))):
+        count(root)
+    proto_ids: dict[int, list] = {}
+
     def visit(node_idx: int, parent: np.ndarray):
         node = nodes[node_idx]
         m = parent @ _node_matrix(node)
         if "mesh" in node:
-            for pos, nrm, uv, tan, idx, mat in meshes[node["mesh"]]:
-                b.add_mesh(
-                    pos, idx, mat, normals=nrm, uvs=uv, tangents=tan, transform=m
-                )
+            gm = node["mesh"]
+            shared = (
+                mesh_refs.get(gm, 0) > 1
+                and np.linalg.det(m[:3, :3]) > 0
+            )
+            if shared:
+                if gm not in proto_ids:
+                    proto_ids[gm] = [
+                        b.add_prototype(
+                            pos, idx, mat, normals=nrm, uvs=uv, tangents=tan
+                        )
+                        for pos, nrm, uv, tan, idx, mat in meshes[gm]
+                    ]
+                for pid in proto_ids[gm]:
+                    b.add_instance(pid, m)
+            else:
+                for pos, nrm, uv, tan, idx, mat in meshes[gm]:
+                    b.add_mesh(
+                        pos, idx, mat, normals=nrm, uvs=uv, tangents=tan,
+                        transform=m,
+                    )
         for child in node.get("children", []):
             visit(child, m)
 

@@ -161,6 +161,17 @@ class CompiledScene(NamedTuple):
     # boxes that no ray can enter.
     clus_box: jnp.ndarray  # [8, n_clus_pad] f32
 
+    # Instancing (reference shares one Mesh across Nodes, scene.hpp:48-66;
+    # here prototypes own object-space traversal/shading data ONCE and
+    # instances are transforms + 4-byte/tri id maps — the heavy per-tri
+    # packs are shared). Empty ([0]-shaped) when meta.n_instances == 0.
+    # (None / empty defaults keep legacy pytrees unchanged; defaults must
+    # not build device arrays at class-definition time.)
+    protos: tuple = ()  # tuple[CompiledScene]: per-prototype traversal scenes
+    inst_rows: object = None  # [I, 40] inv 3x4 | fwd 3x4 | normal 3x3 | pad
+    inst_tri_base: object = None  # [I] i32 first virtual tri per instance
+    tri_aux: object = None  # [Tv, 8] i32: shade row, inst, light, mat
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -194,3 +205,8 @@ class SceneMeta:
     coarse_max_leaf: int = 2  # max clusters per coarse leaf
     bintrace_k: int = 12  # K: cluster slots per ray per round
     n_clus_pad: int = 128  # clus_box lane padding (multiple of 128)
+    # Instancing statics: per-instance prototype ids and per-proto metas
+    # (tuples so the dataclass stays hashable for jit static args).
+    n_instances: int = 0
+    inst_proto: tuple = ()  # tuple[int] per instance
+    proto_metas: tuple = ()  # tuple[SceneMeta] per prototype
