@@ -143,3 +143,40 @@ def test_mirrored_instance_rejected():
     pid = b.add_prototype(pos, tri, m, normals=nrm)
     with pytest.raises(ValueError):
         b.add_instance(pid, np.diag([-1.0, 1.0, 1.0, 1.0]))
+
+
+def test_instanced_blocktrace_matches_instance_loop():
+    """The single-pass instanced fused kernel (interpret mode) agrees with
+    the per-instance traversal loop."""
+    from yart_tpu.render.blocktrace import intersect_blocktrace
+    from yart_tpu.render.intersect import _intersect_instanced
+
+    scene, meta = _scene(True)
+    assert 0 < meta.n_inst_clusters <= 4096
+    rng = np.random.default_rng(7)
+    n = 384
+    o = jnp.asarray(rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    hk = intersect_blocktrace(
+        scene, meta, o, d, 100.0, interpret=True
+    )
+    hl = _intersect_instanced(scene, meta, o, d, 100.0)
+    mk, ml = np.asarray(hk.mask), np.asarray(hl.mask)
+    np.testing.assert_array_equal(mk, ml)
+    np.testing.assert_allclose(
+        np.asarray(hk.t)[mk], np.asarray(hl.t)[mk], rtol=2e-5, atol=2e-5
+    )
+    same = (np.asarray(hk.tri) == np.asarray(hl.tri)) & mk
+    assert same.sum() >= 0.999 * mk.sum()
+
+    # NEE any-hit agreement.
+    hk2 = intersect_blocktrace(
+        scene, meta, o, d, 4.0, nee=True, interpret=True
+    )
+    hl2 = _intersect_instanced(scene, meta, o, d, 4.0, nee=True)
+    np.testing.assert_array_equal(
+        np.asarray(hk2.mask), np.asarray(hl2.mask)
+    )

@@ -58,3 +58,35 @@ def test_roadster_materials():
     assert float(np.asarray(m.volume_density).max()) > 0.0
     assert float(np.asarray(m.metallic).max()) > 0.9
     assert meta.has_env
+
+
+def test_atrium_instanced_matches_baked():
+    """atrium(instanced=True) shares column/planter prototypes (the
+    per-tri tables drop ~2.7x) and intersects identically to the baked
+    build."""
+    import jax
+    import jax.numpy as jnp
+    from yart_tpu.render.intersect import intersect
+    from yart_tpu.scene.showcase import atrium
+
+    s_b, m_b = atrium(tex_res=64).compile()
+    s_i, m_i = atrium(tex_res=64, instanced=True).compile()
+    assert m_i.n_instances > 50 and len(s_i.protos) < m_i.n_instances
+    assert m_i.n_tris == m_b.n_tris  # identical virtual geometry
+
+    rng = np.random.default_rng(2)
+    n = 256
+    o = jnp.asarray(
+        np.stack([rng.uniform(-10, 10, n), rng.uniform(0.2, 5.5, n),
+                  rng.uniform(-4, 4, n)], -1).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    hb = jax.jit(lambda o, d: intersect(s_b, m_b, o, d, 100.0))(o, d)
+    hi = jax.jit(lambda o, d: intersect(s_i, m_i, o, d, 100.0))(o, d)
+    mb, mi = np.asarray(hb.mask), np.asarray(hi.mask)
+    assert (mb == mi).mean() > 0.99
+    both = mb & mi
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[both], np.asarray(hi.t)[both], rtol=2e-4, atol=2e-4
+    )

@@ -21,7 +21,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="yart-tpu", description=__doc__)
     p.add_argument("scene", help=".gltf/.glb path or procedural name "
                                "(cornell | cornell-mat | spheres | furnace | "
-                               "atrium | atrium-ivy | roadster)")
+                               "atrium | atrium-ivy | atrium-inst | roadster)")
     p.add_argument("--config", default=None,
                    help="JSON file of flag defaults (a config system — the "
                         "reference's knobs are compile-time edits, "
@@ -92,10 +92,11 @@ def build_scene(args):
         b = procedural.material_test_spheres()
     elif args.scene == "furnace":
         b = procedural.furnace()
-    elif args.scene in ("atrium", "atrium-ivy"):
+    elif args.scene in ("atrium", "atrium-ivy", "atrium-inst"):
         from yart_tpu.scene.showcase import atrium
 
-        b = atrium(ivy=args.scene.endswith("ivy"))
+        b = atrium(ivy=args.scene.endswith("ivy"),
+                   instanced=args.scene.endswith("inst"))
     elif args.scene == "roadster":
         from yart_tpu.scene.showcase import roadster
 
@@ -121,11 +122,13 @@ def default_camera(args, name):
         "furnace": ((0, 0, 3.5), (0, 0, 0)),
         "atrium": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
         "atrium-ivy": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
+        "atrium-inst": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
         "roadster": ((4.4, 1.7, 5.0), (0.0, 0.5, 0.0)),
     }
     # Interior scenes under a sky env need positive EV (the reference's
     # Sponza config runs at +5 EV, src/main.cpp:34).
-    exposure = {"atrium": 3.0, "atrium-ivy": 3.0, "roadster": 1.0}
+    exposure = {"atrium": 3.0, "atrium-ivy": 3.0, "atrium-inst": 3.0,
+                "roadster": 1.0}
     if args.exposure is None:
         args.exposure = exposure.get(name, 0.0)
     pos, target = defaults.get(name, ((0, 1, 4), (0, 1, 0)))

@@ -126,9 +126,17 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
 
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
-                  ablate: int,
-                  blive_ref, rays_ref, rays_t_ref, boxes_ref,
-                  pack_ref, out_ref, *scratch):
+                  ablate: int, instanced: bool,
+                  *refs):
+    if instanced:
+        (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
+         rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
+         *scratch) = refs
+        inst = (csrc_ref, cinst_ref, cfid_ref, itf_ref)
+    else:
+        (blive_ref, rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
+         *scratch) = refs
+        inst = None
     block = rays_ref.shape[0]
 
     rays = rays_ref[...]
@@ -151,14 +159,14 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
         _fused_body(
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-            *scratch, ablate=ablate,
+            *scratch, ablate=ablate, inst=inst,
         )
 
 
 def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 pack_vmem: bool, mxu_test: bool, kbatch: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-                *scratch, ablate: int = 0):
+                *scratch, ablate: int = 0, inst=None):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -168,10 +176,35 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     t0 = rays[:, 6:7]
     floor = rays[:, 7:8]
     if mxu_test:
+        assert inst is None, "instanced + mxu_test unsupported"
         rt = rays_t_ref[...]
         po, pd = rt[0:3, :], rt[3:6, :]
     else:
         po, pd = o, d
+
+    if inst is not None:
+        csrc_ref, cinst_ref, cfid_ref, itf_ref = inst
+
+        def _cluster_rays(cid):
+            """(o', d') in the candidate cluster's instance space: the
+            UNNORMALIZED inverse transform keeps the hit parameter equal
+            to the world parameter (t/floor/termination bounds compose).
+            12 SMEM scalar reads + broadcast FMAs per candidate."""
+            base = cinst_ref[cid] * 12
+            r = [itf_ref[base + k] for k in range(12)]
+            ox = o[:, 0:1] * r[0] + o[:, 1:2] * r[1] + o[:, 2:3] * r[2] + r[3]
+            oy = o[:, 0:1] * r[4] + o[:, 1:2] * r[5] + o[:, 2:3] * r[6] + r[7]
+            oz = (
+                o[:, 0:1] * r[8] + o[:, 1:2] * r[9] + o[:, 2:3] * r[10]
+                + r[11]
+            )
+            dx = d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
+            dy = d[:, 0:1] * r[4] + d[:, 1:2] * r[5] + d[:, 2:3] * r[6]
+            dz = d[:, 0:1] * r[8] + d[:, 1:2] * r[9] + d[:, 2:3] * r[10]
+            return (
+                jnp.concatenate([ox, oy, oz], axis=1),
+                jnp.concatenate([dx, dy, dz], axis=1),
+            )
 
     # --- stage 1: sweep all cluster boxes ---
     ent, ext = _sweep_bounds(o, d, boxes_ref, cpad, use_dots=False)
@@ -195,8 +228,9 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         buf_ref, sem_ref = scratch
 
         def dma(slot, cid):
+            src = csrc_ref[cid] if inst is not None else cid
             return pltpu.make_async_copy(
-                pack_ref.at[cid], buf_ref.at[slot], sem_ref.at[slot]
+                pack_ref.at[src], buf_ref.at[slot], sem_ref.at[slot]
             )
 
     # --- stage 2: nearest-first t-loop (exact t + winning cid per ray) ---
@@ -246,7 +280,11 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             dma(i % 2, cid).wait()
             tri = buf_ref[i % 2]
             t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
-            ro, rd = _proj(po, pd, tri, mxu_test)
+            if inst is not None:
+                uo, ud = _cluster_rays(cid)
+            else:
+                uo, ud = po, pd
+            ro, rd = _proj(uo, ud, tri, mxu_test)
             bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
             upd = bt < t_best
             t_bits = jnp.where(
@@ -270,8 +308,13 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             # Dead tail slots read cluster 0 harmlessly; their t folds
             # to F32_MAX. (mk & ID_MASK of KEY_DEAD is 0xFFF -> clamp.)
             cid = jnp.minimum(mk & ID_MASK, n_clus - 1)
-            tri = pack_ref[cid]
-            ro, rd = _proj(po, pd, tri, mxu_test)
+            if inst is not None:
+                tri = pack_ref[csrc_ref[cid]]
+                uo, ud = _cluster_rays(cid)
+            else:
+                tri = pack_ref[cid]
+                uo, ud = po, pd
+            ro, rd = _proj(uo, ud, tri, mxu_test)
             bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
             bt = jnp.where(mk != KEY_DEAD, bt, F32_MAX)
             t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
@@ -330,7 +373,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         w2 = jnp.min(wkey2)
 
         if pack_vmem:
-            tri = pack_ref[w]
+            tri = pack_ref[csrc_ref[w]] if inst is not None else pack_ref[w]
         else:
 
             @pl.when(w2 != KEY_DEAD)
@@ -344,14 +387,26 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             bt, bu, bv, bb, col, anyv = _pair_test_mxu(
                 po, pd, t_best, tri, c, t_min, floor=floor
             )
+        elif inst is not None:
+            wo, wd = _cluster_rays(w)
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                wo, wd, t_best, tri, c, t_min, floor=floor
+            )
         else:
             bt, bu, bv, bb, col, anyv = _pair_test(
                 o, d, t_best, tri, c, t_min, floor=floor
             )
-        # First-triangle id rides in pack row 4 lane 0 (bitcast i32), so
-        # no dynamic scalar-memory read is needed: broadcast-add a vector.
-        fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)  # [1,1]
-        gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
+        if inst is not None:
+            # Global first-triangle id per INSTANCE-cluster from SMEM (the
+            # pack row 4 value is the prototype-local id).
+            gid = lax.bitcast_convert_type(
+                cfid_ref[w] + col[:, None], jnp.float32
+            )
+        else:
+            # First-triangle id rides in pack row 4 lane 0 (bitcast i32),
+            # so no dynamic scalar-memory read is needed.
+            fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)
+            gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
         new = jnp.concatenate(
             [
                 bt[:, None],
@@ -510,7 +565,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     jax.jit,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
-        "ablate", "interpret",
+        "ablate", "n_clus", "interpret",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -520,6 +575,11 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        kbatch: int = 8,
                        blive=None,
                        ablate: int = 0,
+                       clus_src=None,
+                       clus_inst=None,
+                       clus_fid=None,
+                       inst_flat=None,
+                       n_clus: int | None = None,
                        interpret: bool = False):
     """rays [Np, 8] f32 (o3, d3, t_cur, floor), Np a multiple of `block`;
     clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
@@ -540,26 +600,28 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     rays_t = rays.T  # SoA view for the MXU projections (cheap relayout)
     if blive is None:
         blive = jnp.ones((n_blocks,), jnp.int32)
+    instanced = clus_src is not None
+    assert not (instanced and mxu_test)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=5 if instanced else 1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 8), lambda b, bl: (b, 0),
+            pl.BlockSpec((block, 8), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda b, bl: (0, b),
+            pl.BlockSpec((8, block), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cpad), lambda b, bl: (0, 0),
+            pl.BlockSpec((8, cpad), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                clus_pack.shape, lambda b, bl: (0, 0, 0),
+                clus_pack.shape, lambda b, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             if pack_vmem
             else pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, block, 8), lambda b, bl: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, block, 8), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[]
         if pack_vmem
@@ -568,10 +630,17 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    scalars = (blive.astype(jnp.int32),)
+    if instanced:
+        scalars = scalars + (
+            clus_src.astype(jnp.int32), clus_inst.astype(jnp.int32),
+            clus_fid.astype(jnp.int32), inst_flat.astype(jnp.float32),
+        )
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, c, t_min, nee, clus_pack.shape[0],
-            pack_vmem, mxu_test, kbatch, ablate,
+            _fused_kernel, c, t_min, nee,
+            clus_pack.shape[0] if n_clus is None else int(n_clus),
+            pack_vmem, mxu_test, kbatch, ablate, instanced,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),
@@ -582,5 +651,5 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             vmem_limit_bytes=VMEM_PACK_BYTES + (32 << 20),
         ),
         interpret=interpret,
-    )(blive.astype(jnp.int32), rays, rays_t, clus_box, clus_pack)
+    )(*scalars, rays, rays_t, clus_box, clus_pack)
     return out.reshape(n, 8)

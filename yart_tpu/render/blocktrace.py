@@ -46,6 +46,14 @@ _WKEY0 = -(1 << 31)  # initial window: everything eligible
 MAX_CLUSTERS = 1 << 12  # ID_BITS; bigger scenes use render/bintrace.py
 
 
+def _n_clus(meta) -> int:
+    """Valid traversal-cluster count: instance-clusters for instanced
+    scenes (each (instance, proto-cluster) pair is one cluster)."""
+    return (
+        meta.n_inst_clusters if meta.n_instances else meta.n_clusters
+    )
+
+
 def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
                  interpret):
     """Per-ray block sort key from the presort sweep kernel: rays grouped
@@ -64,7 +72,7 @@ def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
             [rays, jnp.zeros((pad, 8), jnp.float32)], axis=0
         )
     out = presort_keys_pallas(
-        rays, scene.clus_box, int(meta.n_clusters), t_min,
+        rays, scene.clus_box, _n_clus(meta), t_min,
         block=block, interpret=interpret,
     )
     return out[:n, 0].astype(jnp.uint32)
@@ -143,6 +151,9 @@ def intersect_blocktrace(
     select/test pipeline."""
     from yart_tpu.render.intersect import Hit
 
+    assert fused or not meta.n_instances, (
+        "the round-based select/test pipeline has no instanced support"
+    )
     n = o.shape[0]
     c = meta.cluster_size
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -170,7 +181,7 @@ def intersect_blocktrace(
             rays = jnp.concatenate([rays, pad_rows], axis=0)
         np_ = n + pad
         key = presort_keys_pallas(
-            rays, scene.clus_box, int(meta.n_clusters), t_min,
+            rays, scene.clus_box, _n_clus(meta), t_min,
             block=block, interpret=interpret,
         )[:, 0].astype(jnp.uint32)
         # One sort yields both the permutation and the sorted keys (for
@@ -184,9 +195,16 @@ def intersect_blocktrace(
             (key_s < (1 << 25)).reshape(-1, block), axis=1
         ).astype(jnp.int32)
 
+        inst_kw = {}
+        if meta.n_instances:
+            inst_kw = dict(
+                clus_src=scene.clus_src, clus_inst=scene.clus_inst,
+                clus_fid=scene.clus_fid, inst_flat=scene.inst_flat,
+                n_clus=_n_clus(meta),
+            )
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
-            nee=nee, blive=blive, interpret=interpret,
+            nee=nee, blive=blive, interpret=interpret, **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
@@ -273,11 +291,17 @@ def _hit_gates(scene, meta, h, d, nee, alpha_seed):
     from yart_tpu.render.texture import sample_stack
 
     n = h.t.shape[0]
-    tri_c = jnp.clip(h.tri, 0, scene.tri_v.shape[0] - 1)
-    mats = lax.bitcast_convert_type(
-        scene.tri_pack[tri_c, 9], jnp.int32
-    )
-    srow = scene.shade_pack[tri_c]  # [N, 32]
+    if meta.n_instances:
+        tri_c = jnp.clip(h.tri, 0, meta.n_tris - 1)
+        aux = scene.tri_aux[tri_c]
+        mats = aux[:, 3]
+        srow = scene.shade_pack[aux[:, 0]]  # [N, 32] (object space)
+    else:
+        tri_c = jnp.clip(h.tri, 0, scene.tri_v.shape[0] - 1)
+        mats = lax.bitcast_convert_type(
+            scene.tri_pack[tri_c, 9], jnp.int32
+        )
+        srow = scene.shade_pack[tri_c]  # [N, 32]
     w_b = (1.0 - h.u - h.v)[:, None]
     uv = (
         w_b * srow[:, 9:11]
@@ -310,6 +334,21 @@ def _hit_gates(scene, meta, h, d, nee, alpha_seed):
             + h.u[:, None] * srow[:, 3:6]
             + h.v[:, None] * srow[:, 6:9]
         )
+        if meta.n_instances:
+            # Object-space normals rotate by the instance normal matrix
+            # before the world-direction cosine.
+            m9 = scene.inst_rows[aux[:, 1]][:, 24:33]
+            n_interp = jnp.stack(
+                [
+                    jnp.sum(m9[:, 0:3] * n_interp, axis=-1),
+                    jnp.sum(m9[:, 3:6] * n_interp, axis=-1),
+                    jnp.sum(m9[:, 6:9] * n_interp, axis=-1),
+                ],
+                axis=-1,
+            )
+            n_interp = n_interp / jnp.maximum(
+                jnp.linalg.norm(n_interp, axis=-1, keepdims=True), 1e-20
+            )
         base = scene.materials.base_color[mats, :3]
         if meta.any_textures:
             tb2 = scene.materials.tex_base[mats]

@@ -947,6 +947,28 @@ def intersect(
     instance's prototype in object space and merge (see
     _intersect_instanced)."""
     if meta.n_instances:
+        from yart_tpu.render.blocktrace import (
+            MAX_CLUSTERS,
+            intersect_blocktrace,
+            intersect_blocktrace_gated,
+        )
+
+        # Single fused-kernel pass over all instance-clusters on TPU;
+        # otherwise (CPU, or past the 12-bit cluster-id cap) a static
+        # per-instance loop over the prototype traversals.
+        if (
+            0 < meta.n_inst_clusters <= MAX_CLUSTERS
+            and jax.default_backend() == "tpu"
+        ):
+            gates = meta.any_alpha or (nee and meta.any_transparent)
+            if not gates:
+                return intersect_blocktrace(
+                    scene, meta, o, d, t_max, t_min=t_min, nee=nee
+                )
+            return intersect_blocktrace_gated(
+                scene, meta, o, d, t_max, t_min=t_min, nee=nee,
+                alpha_seed=alpha_seed,
+            )
         return _intersect_instanced(
             scene, meta, o, d, t_max, t_min=t_min, nee=nee,
             alpha_seed=alpha_seed,

@@ -829,6 +829,68 @@ class SceneBuilder:
             [np.asarray(ps.shade_pack) for ps in proto_scenes]
         )
 
+        # --- single-pass instanced block-trace tables: every (instance,
+        # proto-cluster) pair becomes one traversal cluster sharing the
+        # prototype's object-space pack row; its world AABB comes from the
+        # transformed object-box corners. ---
+        pack_all = np.concatenate(
+            [np.asarray(ps.clus_pack) for ps in proto_scenes]
+        )
+        proto_nclus = [pm.n_clusters for pm in proto_metas]
+        proto_clus_base = np.concatenate(
+            [[0], np.cumsum(proto_nclus)]
+        ).astype(np.int64)
+        proto_clus_first = [
+            np.asarray(ps.clus_first) for ps in proto_scenes
+        ]
+        proto_clus_lohi = [
+            (
+                np.asarray(ps.clus_box)[0:3, : proto_nclus[k]].T,
+                np.asarray(ps.clus_box)[3:6, : proto_nclus[k]].T,
+            )
+            for k, ps in enumerate(proto_scenes)
+        ]
+        ic_src, ic_inst, ic_fid, ic_lo, ic_hi = [], [], [], [], []
+        for i, (p, m) in enumerate(self._instances):
+            nc = proto_nclus[p]
+            ic_src.append(proto_clus_base[p] + np.arange(nc))
+            ic_inst.append(np.full(nc, i))
+            ic_fid.append(int(inst_tri_base[i]) + proto_clus_first[p])
+            plo, phi = proto_clus_lohi[p]
+            # 8 transformed corners per object box -> world AABB.
+            corners = np.stack(
+                [
+                    np.where(
+                        np.asarray(
+                            [(ix >> a) & 1 for a in range(3)], bool
+                        )[None, :],
+                        phi,
+                        plo,
+                    )
+                    for ix in range(8)
+                ],
+                axis=1,
+            )  # [nc, 8, 3]
+            wcor = corners @ m[:3, :3].T + m[:3, 3]
+            ic_lo.append(wcor.min(axis=1))
+            ic_hi.append(wcor.max(axis=1))
+        n_ic = int(sum(proto_nclus[p] for p, _ in self._instances))
+        ic_src = np.concatenate(ic_src).astype(np.int32)
+        ic_inst = np.concatenate(ic_inst).astype(np.int32)
+        ic_fid = np.concatenate(ic_fid).astype(np.int32)
+        ic_lo = np.concatenate(ic_lo).astype(np.float32)
+        ic_hi = np.concatenate(ic_hi).astype(np.float32)
+        n_ic_pad = max(128, -(-n_ic // 512) * 512 if n_ic > 128 else 128)
+        ic_box = np.zeros((8, n_ic_pad), np.float32)
+        ic_box[0:6, :] = 3.0e38  # far-box pad sentinel (see compile())
+        ic_box[0:3, :n_ic] = ic_lo.T
+        ic_box[3:6, :n_ic] = ic_hi.T
+        pad_i = np.zeros(n_ic_pad - n_ic, np.int32)
+        ic_src = np.concatenate([ic_src, pad_i])
+        ic_inst = np.concatenate([ic_inst, pad_i])
+        ic_fid = np.concatenate([ic_fid, pad_i])
+        inst_flat = inst_rows[:, 0:12].reshape(-1).astype(np.float32)
+
         z1 = jnp.zeros((1,), jnp.float32)
         z13 = jnp.zeros((1, 3), jnp.float32)
         zi1 = jnp.zeros((1,), jnp.int32)
@@ -872,14 +934,18 @@ class SceneBuilder:
             scene_center=jnp.asarray(center, jnp.float32),
             scene_radius=jnp.asarray(radius, jnp.float32),
             background=jnp.asarray(self._background, jnp.float32),
-            clus_pack=jnp.zeros((1, 8, 3), jnp.float32),
+            clus_pack=jnp.asarray(pack_all),
             clus_first=zi1,
             coarse_pack=jnp.zeros((1, 56), jnp.float32),
-            clus_box=jnp.zeros((8, 128), jnp.float32),
+            clus_box=jnp.asarray(ic_box),
             protos=tuple(proto_scenes),
             inst_rows=jnp.asarray(inst_rows),
             inst_tri_base=jnp.asarray(inst_tri_base[:-1], jnp.int32),
             tri_aux=jnp.asarray(tri_aux),
+            clus_src=jnp.asarray(ic_src),
+            clus_inst=jnp.asarray(ic_inst),
+            clus_fid=jnp.asarray(ic_fid),
+            inst_flat=jnp.asarray(inst_flat),
         )
         meta = SceneMeta(
             n_tris=n_virt,
@@ -903,6 +969,9 @@ class SceneBuilder:
             n_instances=n_inst,
             inst_proto=inst_proto,
             proto_metas=tuple(proto_metas),
+            n_inst_clusters=n_ic,
+            n_clus_pad=n_ic_pad,
+            cluster_size=int(cluster_size),
         )
         return scene, meta
 

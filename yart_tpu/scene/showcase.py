@@ -282,10 +282,15 @@ def grid_patch(origin, du, dv, nu, nv, displace=None, uv_scale=1.0):
 # ---------------------------------------------------------------------------
 
 
-def atrium(ivy: bool = False, density: int = 1, tex_res: int = 512) -> SceneBuilder:
+def atrium(ivy: bool = False, density: int = 1, tex_res: int = 512,
+           instanced: bool = False) -> SceneBuilder:
     """Two-story colonnaded courtyard (Sponza-class load; ~130k tris at
     density=1). `ivy=True` adds alpha-tested foliage (the sponza-new-ivy
-    analog — routes intersection through the alpha-gated path)."""
+    analog — routes intersection through the alpha-gated path).
+    `instanced=True` shares one column assembly (shaft + base + capital)
+    per story as a prototype and places the 52 columns + 5 planters as
+    instances — the stored per-triangle data drops ~20x while the rendered
+    image stays the same (tests/test_showcase.py)."""
     b = SceneBuilder()
     rng = np.random.default_rng(42)
 
@@ -341,11 +346,46 @@ def atrium(ivy: bool = False, density: int = 1, tex_res: int = 512) -> SceneBuil
         b.add_mesh(wp, widx, m_brick, uvs=wuv)
 
     # Colonnades: two rows per story.
+    def column_proto(r, h):
+        """One column assembly at the origin: fluted shaft + marble base +
+        metal capital, merged with per-face materials."""
+        parts = [
+            (cylinder((0, 0.25, 0), r, h - 0.5, seg=seg, rings=rings,
+                      flutes=1.0), m_marble),
+            (box((0, 0.125, 0), (0.32, 0.125, 0.32)), m_marble),
+            (box((0, h - 0.125, 0), (0.34, 0.125, 0.34)), m_trim),
+        ]
+        pos_l, nrm_l, uv_l, idx_l, mat_l = [], [], [], [], []
+        nv = 0
+        for (pos, nrm, uv, idx), mat in parts:
+            pos_l.append(pos)
+            nrm_l.append(nrm)
+            uv_l.append(uv)
+            idx_l.append(idx + nv)
+            mat_l.append(np.full(idx.shape[0], mat, np.int32))
+            nv += pos.shape[0]
+        return (
+            np.concatenate(pos_l), np.concatenate(nrm_l),
+            np.concatenate(uv_l), np.concatenate(idx_l),
+            np.concatenate(mat_l),
+        )
+
+    def translate(x, y, z):
+        m = np.eye(4)
+        m[:3, 3] = (x, y, z)
+        return m
+
     n_cols = 13
     xs = np.linspace(-L + 1.4, L - 1.4, n_cols)
     for story, (y0, r, h) in enumerate([(0.0, 0.22, H), (H + 0.25, 0.16, H - 0.6)]):
+        if instanced:
+            cp, cn, cu, ci, cm = column_proto(r, h)
+            pid = b.add_prototype(cp, ci, cm, normals=cn, uvs=cu)
         for z in (-W + 1.0, W - 1.0):
             for x in xs:
+                if instanced:
+                    b.add_instance(pid, translate(x, y0, z))
+                    continue
                 add(cylinder((x, y0 + 0.25, z), r, h - 0.5, seg=seg,
                              rings=rings, flutes=1.0), m_marble)
                 # base + capital
@@ -378,8 +418,14 @@ def atrium(ivy: bool = False, density: int = 1, tex_res: int = 512) -> SceneBuil
             b.add_mesh(cp, cidx, mat, uvs=cuv)
 
     # Planter boxes and a central fountain bowl.
-    for x in np.linspace(-L + 3, L - 3, 5):
-        add(box((x, 0.25, 0.0), (0.5, 0.25, 0.5), uv_scale=2.0), m_marble)
+    if instanced:
+        pp, pn, pu, pi = box((0, 0.25, 0), (0.5, 0.25, 0.5), uv_scale=2.0)
+        planter = b.add_prototype(pp, pi, m_marble, normals=pn, uvs=pu)
+        for x in np.linspace(-L + 3, L - 3, 5):
+            b.add_instance(planter, translate(x, 0.0, 0.0))
+    else:
+        for x in np.linspace(-L + 3, L - 3, 5):
+            add(box((x, 0.25, 0.0), (0.5, 0.25, 0.5), uv_scale=2.0), m_marble)
     add(cylinder((0, 0.5, 0), 1.1, 0.22, seg=seg * 2, rings=2), m_marble)
 
     if ivy:

@@ -171,6 +171,14 @@ class CompiledScene(NamedTuple):
     inst_rows: object = None  # [I, 40] inv 3x4 | fwd 3x4 | normal 3x3 | pad
     inst_tri_base: object = None  # [I] i32 first virtual tri per instance
     tri_aux: object = None  # [Tv, 8] i32: shade row, inst, light, mat
+    # Single-pass instanced block-trace (kernels/pallas_fusedtrace.py with
+    # instanced=True): every (instance, prototype-cluster) pair is one
+    # traversal cluster — world AABB in clus_box, shared object-space pack
+    # row via clus_src, the ray transform fetched from SMEM per candidate.
+    clus_src: object = None  # [n_ic_pad] i32 pack row per instance-cluster
+    clus_inst: object = None  # [n_ic_pad] i32 instance per instance-cluster
+    clus_fid: object = None  # [n_ic_pad] i32 first GLOBAL tri per ic
+    inst_flat: object = None  # [I * 12] f32 inverse 3x4 rows (SMEM)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,3 +218,4 @@ class SceneMeta:
     n_instances: int = 0
     inst_proto: tuple = ()  # tuple[int] per instance
     proto_metas: tuple = ()  # tuple[SceneMeta] per prototype
+    n_inst_clusters: int = 0  # instance-cluster count (single-pass trace)
