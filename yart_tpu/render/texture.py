@@ -71,24 +71,3 @@ def sample_stack(stack: TextureStack, idx, uv):
 
     out = (s00 * (1 - fv) + s01 * fv) * (1 - fu) + (s10 * (1 - fv) + s11 * fv) * fu
     return jnp.where((idx >= 0)[..., None], out, 0.0)
-
-
-def sample_hdr(image, uv):
-    """Bilinear sample of a single [H, W, 3] HDR image (env maps), same
-    wrap/clamp rules as above."""
-    h, w = image.shape[:2]
-    u = uv[..., 0] - jnp.floor(uv[..., 0])
-    v = uv[..., 1] - jnp.floor(uv[..., 1])
-    u = u * (w - 1)
-    v = v * (h - 1)
-    x = jnp.clip(u.astype(jnp.int32), 0, max(w - 2, 0))
-    y = jnp.clip(v.astype(jnp.int32), 0, max(h - 2, 0))
-    fu = (u - x)[..., None]
-    fv = (v - y)[..., None]
-    x1 = jnp.minimum(x + 1, w - 1)
-    y1 = jnp.minimum(y + 1, h - 1)
-    s00 = image[y, x]
-    s01 = image[y1, x]
-    s10 = image[y, x1]
-    s11 = image[y1, x1]
-    return (s00 * (1 - fv) + s01 * fv) * (1 - fu) + (s10 * (1 - fv) + s11 * fv) * fu

@@ -18,14 +18,6 @@ import numpy as np
 
 from yart_tpu.ops.distribution import build_alias
 from yart_tpu.scene.bvh import build_bvh, collapse_bvh8
-def _env_rows_from_image(img, pdf_cells):
-    # Lazy import: render.lights imports scene.types, whose package pulls
-    # in this module.
-    from yart_tpu.render.lights import env_rows_from_image
-
-    return env_rows_from_image(img, pdf_cells)
-
-
 from yart_tpu.scene.types import (
     CompiledScene,
     FlatBVH,
@@ -35,6 +27,14 @@ from yart_tpu.scene.types import (
 )
 
 _PI = float(np.pi)
+
+
+def _env_rows_from_image(img, pdf_cells):
+    # Lazy import: render.lights imports scene.types, whose package pulls
+    # in this module.
+    from yart_tpu.render.lights import env_rows_from_image
+
+    return env_rows_from_image(img, pdf_cells)
 
 
 @dataclasses.dataclass
