@@ -133,6 +133,116 @@ def test_texture_grad_matches_fd():
     np.testing.assert_allclose(g_ad, g_fd, rtol=0.08)
 
 
+def _plane_light_scene():
+    """Huge diffuse receiver plane at z=0 lit by a small area light at z=3
+    (behind the camera): every camera ray hits the plane's interior and
+    every shadow ray is unoccluded, so moving the plane along z changes the
+    image smoothly — the clean fixture for interior geometry derivatives."""
+    from yart_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_material(base_color=(0.7, 0.7, 0.7, 1.0), roughness=1.0)
+    light = b.add_material(
+        base_color=(0.0, 0.0, 0.0, 1.0), roughness=1.0,
+        emission=(1.0, 1.0, 1.0), emission_strength=20.0,
+    )
+    s = 50.0
+    recv = np.asarray(
+        [[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]], np.float32
+    )
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    b.add_mesh(recv, idx, white)
+    lamp = np.asarray(
+        [[-0.5, -0.5, 3], [-0.5, 0.5, 3], [0.5, 0.5, 3], [0.5, -0.5, 3]],
+        np.float32,
+    )
+    b.add_mesh(lamp, idx, light)
+    return b.compile()
+
+
+def test_geometry_grad_matches_fd():
+    """d(mean image)/d(receiver plane z) through the differentiable
+    Moller-Trumbore refit (cfg.diff_geometry), AD vs central FD. Moving the
+    plane towards the light shortens every NEE distance -> brighter."""
+    import dataclasses
+
+    scene, meta = _plane_light_scene()
+    size = (8, 8)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=35.0,
+                     position=(0, 0, 2.0), forward=(0, 0, -1))
+    )
+    cfg = dataclasses.replace(
+        RenderConfig(samples=4, max_depth=3, rr_start_depth=99),
+        diff_geometry=True,
+    )
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), 4), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), 4), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(4), 64), jnp.uint32)
+
+    recv_verts = jnp.arange(4)  # builder order: receiver mesh first
+
+    def loss_of_dz(dz):
+        pos = scene.positions.at[recv_verts, 2].add(dz)
+        s = scene._replace(positions=pos)
+        radiance, _ = render_image_diff(s, meta, cam, sampler, cfg, px, py, sidx)
+        return jnp.mean(radiance)
+
+    f = jax.jit(loss_of_dz)
+    g_ad = float(jax.jit(jax.grad(loss_of_dz))(0.0))
+    h = 0.02
+    g_fd = (float(f(h)) - float(f(-h))) / (2 * h)
+    assert g_ad > 0.0  # plane closer to the light -> brighter
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.08)
+
+
+def test_geometry_grads_api():
+    from yart_tpu.render.diff import geometry_grads
+
+    scene, meta = _plane_light_scene()
+    size = (6, 6)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=35.0,
+                     position=(0, 0, 2.0), forward=(0, 0, -1))
+    )
+    cfg = RenderConfig(samples=2, max_depth=3, rr_start_depth=99)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), 2), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), 2), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(2), 36), jnp.uint32)
+
+    val, g = geometry_grads(
+        scene, meta, cam, sampler, cfg, px, py, sidx,
+        loss_fn=lambda img: jnp.mean(img),
+    )
+    g = np.asarray(g)
+    assert np.isfinite(float(val))
+    assert g.shape == scene.positions.shape
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0.0
+
+
+def test_diff_geometry_forward_close_to_primal(setup):
+    """The MT refit re-derives t/u/v from raw vertices; forward radiance
+    must agree with the traversal-parameter path to float tolerance."""
+    import dataclasses
+
+    scene, meta, cam, sampler, cfg, px, py, sidx = setup
+    a, _ = jax.jit(
+        lambda: render_wave(scene, meta, cam, sampler, cfg, px, py, sidx)
+    )()
+    cfg_g = dataclasses.replace(cfg, diff_geometry=True)
+    b, _ = jax.jit(
+        lambda: render_wave(
+            scene, meta, cam, sampler, cfg_g, px, py, sidx,
+            differentiable=True,
+        )
+    )()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_material_grads_api(setup):
     scene, meta, cam, sampler, cfg, px, py, sidx = setup
     val, grads = material_grads(

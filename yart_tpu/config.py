@@ -57,6 +57,16 @@ class RenderConfig:
     # TPU execution knobs (no reference analog):
     lane_chunk: Optional[int] = None  # rays per device dispatch; None = whole wave
     seed: int = 0
+    # Fused shade path: "off" = the classic jnp bounce body; "xla" = the
+    # shared component-form shade math (kernels/shade_math.py) assembled by
+    # XLA — numerically equivalent, used for validation/fallback; "pallas" =
+    # the fused per-bounce shade kernel (kernels/pallas_shade.py).
+    shade_kernel: str = "off"
+    # Differentiable-mode knob: re-solve each hit's (t, u, v) from the
+    # vertex positions (Moller-Trumbore as an implicit function) so
+    # gradients flow to scene.positions — the interior (shading) term of
+    # geometry derivatives; visibility stays detached (render/diff.py).
+    diff_geometry: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

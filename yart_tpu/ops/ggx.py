@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from yart_tpu.ops import warps
-from yart_tpu.ops.vecmath import absdot, normalize
+from yart_tpu.ops.vecmath import absdot, normalize, safe_sqrt
 
 PI = jnp.pi
 SMOOTH_ALPHA = 1e-3
@@ -66,23 +66,33 @@ def _phi_terms(w):
 def mdf(a: Alphas, w):
     """Microfacet NDF D(w) (bsdf.hpp:193-217). w: [..., 3] local dir."""
     cos2t, sin2t, cos2p, sin2p = _phi_terms(w)
-    tan2t = sin2t / jnp.maximum(cos2t, 1e-20)
-    cos4t = cos2t * cos2t
+    # Degenerate cutoff at 1e-12 (not the old 1e-20): between those, tan2t
+    # reaches 1e19 and (1 + k)^2 overflows f32 — reverse mode then emits
+    # 0-cotangent * inf = NaN. Values in that band were numerical garbage
+    # anyway (the reference discards grazing samples). Inputs are masked
+    # BEFORE the reciprocal for the same double-where reason.
+    ok = cos2t > 1e-12
+    # Divisor masked too: 1/max(cos2t, 1e-20)^2 in the division's backward
+    # is 1e40 = inf even when the quotient itself is where-masked.
+    tan2t = jnp.where(ok, sin2t, 0.0) / jnp.where(ok, cos2t, 1.0)
+    cos4t = jnp.where(ok, cos2t * cos2t, 1.0)
     k = tan2t * (cos2p / (a.ax * a.ax) + sin2p / (a.ay * a.ay))
     k2 = (1.0 + k) * (1.0 + k)
     d = 1.0 / (PI * a.ax * a.ay * cos4t * k2)
     # Grazing w (cos ~ 0) blows up; the reference lets it and discards the
     # sample — here return 0 to keep NaNs out of the wavefront.
-    return jnp.where(cos2t > 1e-20, d, 0.0)
+    return jnp.where(ok, d, 0.0)
 
 
 def _lambda(a: Alphas, w):
     """Smith Lambda (bsdf.hpp:276-290)."""
     cos2t, sin2t, cos2p, sin2p = _phi_terms(w)
-    tan2t = sin2t / jnp.maximum(cos2t, 1e-20)
+    # Same cutoff + input masking as mdf: keeps reverse mode finite.
+    ok = cos2t > 1e-12
+    tan2t = jnp.where(ok, sin2t, 0.0) / jnp.where(ok, cos2t, 1.0)
     alpha2 = a.ax * a.ax * cos2p + a.ay * a.ay * sin2p
     lam = (jnp.sqrt(1.0 + alpha2 * tan2t) - 1.0) * 0.5
-    return jnp.where(cos2t > 1e-20, lam, 1e20)
+    return jnp.where(ok, lam, 1e20)
 
 
 def g1(a: Alphas, w):
@@ -120,12 +130,12 @@ def sample_visible(a: Alphas, w, u):
 
     # Disk sample warped to the truncated hemisphere projection.
     p = warps.sample_disk_uniform(u)
-    h = jnp.sqrt(jnp.maximum(0.0, 1.0 - p[..., 0] * p[..., 0]))
+    h = safe_sqrt(1.0 - p[..., 0] * p[..., 0])
     mix = 0.5 * wh[..., 2] + 0.5
     py = h + (p[..., 1] - h) * mix
     px = p[..., 0]
 
-    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    pz = safe_sqrt(1.0 - px * px - py * py)
     nh = px[..., None] * b + py[..., None] * t + pz[..., None] * wh
 
     return normalize(

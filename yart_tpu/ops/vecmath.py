@@ -39,9 +39,24 @@ def length(v, keepdims: bool = False):
 
 
 def normalize(v):
-    """Safe normalize; returns v/|v| with 0 for zero-length inputs."""
+    """Safe normalize; returns v/|v| with 0 for zero-length inputs.
+
+    The rsqrt argument is masked to 1 on the zero branch: evaluating
+    rsqrt(0) inside the unselected where-branch makes the BACKWARD pass
+    compute 0-cotangent * inf-derivative = NaN (the double-where rule)."""
     n2 = length2(v, keepdims=True)
-    return v * jnp.where(n2 > 0, jax_rsqrt(n2), 0.0)
+    pos = n2 > 0
+    return v * jnp.where(pos, jax_rsqrt(jnp.where(pos, n2, 1.0)), 0.0)
+
+
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) whose gradient is 0 (not NaN) for x <= 0.
+
+    jnp.sqrt(jnp.maximum(0.0, x)) is the NaN factory of reverse mode:
+    at x <= 0 its backward is sqrt'(0) * max'(x) = inf * 0. Forward values
+    are bit-identical to the max form."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def jax_rsqrt(x):
@@ -88,7 +103,7 @@ def refract(wi, n, ior):
     sin2_t = sin2 / (eta * eta)
     tir = sin2_t >= 1.0
 
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     wt = -wi / eta[..., None] + (cos_theta / eta - cos_t)[..., None] * n
     return wt, tir
 
@@ -105,7 +120,7 @@ def fresnel_dielectric(cos_theta, ior):
     sin2_t = sin2 / (ior * ior)
     tir = sin2_t >= 1.0
 
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     r_prl = (ior * cos_theta - cos_t) / (ior * cos_theta + cos_t + EPS)
     r_per = (cos_theta - ior * cos_t) / (cos_theta + ior * cos_t + EPS)
     f = 0.5 * (r_prl * r_prl + r_per * r_per)

@@ -45,8 +45,10 @@ def sample_disk_uniform(u):
 
 def sample_sphere_uniform(u):
     """Uniform unit sphere (sampling.hpp:47-52); pdf = 1/4pi."""
+    from yart_tpu.ops.vecmath import safe_sqrt
+
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = TWO_PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 

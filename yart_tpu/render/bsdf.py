@@ -197,10 +197,15 @@ def _favg_fit(ior):
 
 
 def _outward(wm):
-    """Normalize a half-vector and flip to the upper hemisphere."""
+    """Normalize a half-vector and flip to the upper hemisphere.
+
+    The rsqrt input is masked to 1 below the ok-threshold (callers discard
+    those lanes via `ok`): sqrt(x)^-3 at x ~ 1e-30 overflows f32 in reverse
+    mode and 0-cotangent * inf = NaN."""
     n2 = jnp.sum(wm * wm, axis=-1, keepdims=True)
     ok = n2[..., 0] > 1e-20
-    wm = wm * jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-30)), 0.0)
+    n2m = jnp.where(n2 > 1e-20, n2, 1.0)
+    wm = wm * jnp.where(n2 > 1e-20, 1.0 / jnp.sqrt(n2m), 0.0)
     wm = jnp.where(wm[..., 2:3] < 0.0, -wm, wm)
     return wm, ok
 

@@ -10,10 +10,16 @@ What is differentiable:
   metallic, roughness*, transmission*, ior*, clearcoat*, emission,
   volume_color, volume_density),
 - the env image (through Le lookups; its CDF is treated as fixed),
-- texture contents (through the bilinear fetches).
+- texture contents (through the bilinear fetches),
+- vertex positions (cfg.diff_geometry: each hit's t/u/v re-solved from
+  `scene.positions` by Moller-Trumbore as an implicit function — the
+  interior derivative; hit points, NEE distances/cosines and interpolated
+  attributes all chain through it).
 
 What is detached (biased-but-standard):
-- visibility (BVH traversal, alpha tests),
+- visibility (BVH traversal, alpha tests) — geometry gradients therefore
+  carry no silhouette/occlusion terms (the edge-sampling estimator is out
+  of scope),
 - sampled directions, pdfs, and lobe choices — so gradients of parameters
   that mostly act through the *sampling distribution* (roughness at low
   variance) are one-sided.
@@ -130,6 +136,51 @@ def env_grads(
         return loss_fn(radiance)
 
     return jax.value_and_grad(loss)(scene.env_image)
+
+
+def geometry_grads(
+    scene: CompiledScene,
+    meta: SceneMeta,
+    cam: CameraParams,
+    sampler,
+    cfg: RenderConfig,
+    px,
+    py,
+    sample_idx,
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+):
+    """Gradient of loss_fn(radiance) w.r.t. vertex positions [V, 3].
+
+    Interior-derivative estimator: visibility (which triangle each ray
+    hits, shadow-ray occlusion) is detached; the hit parameters (t, u, v)
+    are re-solved differentiably from the positions (integrator._refit_hit)
+    so hit points, NEE geometry terms, volume path lengths and interpolated
+    shading attributes all carry gradients. Silhouette terms are NOT
+    estimated — gradients of a vertex moving across an occlusion boundary
+    are one-sided, same stance as the sampled-direction detachment above.
+
+    Vertex NORMALS are independent parameters (shade_pack rows interpolate
+    asset normals, which are not derived from positions at render time);
+    differentiate them via the shade_pack columns if needed.
+    """
+    if meta.n_instances:
+        raise NotImplementedError(
+            "geometry_grads: instanced scenes share object-space prototype "
+            "packs; bake the scene (instanced=False) to differentiate "
+            "world-space positions"
+        )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, diff_geometry=True)
+
+    def loss(positions):
+        s = scene._replace(positions=positions)
+        radiance, _ = render_image_diff(
+            s, meta, cam, sampler, cfg, px, py, sample_idx
+        )
+        return loss_fn(radiance)
+
+    return jax.value_and_grad(loss)(scene.positions)
 
 
 def texture_grads(

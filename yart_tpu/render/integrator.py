@@ -121,14 +121,186 @@ def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
         mapped = normalize(local_to_world(tex_n, fx, fy, fz))
         n = jnp.where((tn_idx >= 0)[..., None], mapped, n)
 
+    # Miss lanes carry t == t_max (1e30): a hit point that far overflows to
+    # inf as soon as anything squares it (NEE dist^2, emitted-MIS dist2),
+    # and an inf in ANY masked-out forward value turns into NaN in reverse
+    # mode via the product rule. Every consumer of p is found/active-masked,
+    # so pinning miss lanes to the ray origin is value-identical.
     return Shading(
-        p=o + d * hit.t[..., None],
+        p=o + d * jnp.where(hit.mask, hit.t, 0.0)[..., None],
         n=n,
         tg=shading_tangent(n),
         uv=uv,
         mat=mat_idx,
         light=light_idx,
         back=hit.back_side,
+    )
+
+
+def _shade_kernel_body(
+    scene, meta, sampler, lane_state, cfg, st, hit, sh, mat, found, L,
+    dim0, rays, bounce_seed, mis,
+):
+    """Fused-shade bounce body: the whole post-intersect bounce goes through
+    kernels/shade_math.py — assembled by XLA (`shade_kernel == "xla"`) or
+    fused into one Pallas kernel per bounce (`"pallas"`). Numerically
+    equivalent to the classic body (tests/test_shade_kernel.py asserts the
+    math; tests/test_shade_integrator.py the images)."""
+    from yart_tpu.kernels import shade_math as SM
+
+    n_l = sh.p.shape[0]
+    gates = (
+        meta.any_metallic, meta.any_transmissive, meta.any_clearcoat,
+        meta.any_anisotropy,
+    )
+    any_lights = bool(meta.n_lights > 0 or meta.has_env)
+    depth = st.depth
+    zero = jnp.zeros((n_l,), jnp.float32)
+
+    u = sampler.get2d(lane_state, dim0)
+    uc = sampler.get1d(lane_state, dim0 + 2)
+    uc2 = sampler.get1d(lane_state, dim0 + 3)
+    u_rr = sampler.get1d(lane_state, dim0 + 7) if mis else zero
+
+    # Emitted-MIS light row (same contraction as the classic body).
+    if mis and meta.n_lights:
+        lrow = onehot_matmul(
+            jnp.stack([scene.light_area, scene.light_power], axis=1),
+            jnp.clip(sh.light, 0, meta.n_lights - 1),
+        )
+        pdf_area = 1.0 / jnp.maximum(lrow[:, 0], 1e-20)
+        if cfg.light_sampler == "uniform":
+            n_total = meta.n_lights + (1 if meta.has_env else 0)
+            sel_p = jnp.full((n_l,), 1.0 / max(n_total, 1), jnp.float32)
+        else:
+            total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+            sel_p = lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
+    else:
+        pdf_area = zero
+        sel_p = zero
+
+    if mis and any_lights:
+        uc_l = sampler.get1d(lane_state, dim0 + 4)
+        u_l = sampler.get2d(lane_state, dim0 + 5)
+        ls = lights.sample_light(
+            scene, meta, sh.p, uc_l, u_l, kind=cfg.light_sampler
+        )
+    else:
+        ls = None
+
+    c3 = lambda a: (a[..., 0], a[..., 1], a[..., 2])
+    inp = dict(
+        o=c3(st.o), d=c3(st.d), n=c3(sh.n), p=c3(sh.p),
+        atten=c3(st.atten), active=st.active, found=found,
+        specular_prev=st.specular, acc_rough=st.acc_rough,
+        last_pdf=st.last_pdf, last_p=c3(st.last_p),
+        depth0=jnp.broadcast_to(depth == 0, (n_l,)),
+        rr_on=jnp.broadcast_to(depth + 1 >= cfg.rr_start_depth, (n_l,)),
+        light_neg=sh.light < 0,
+        hit_back=sh.back, hit_t=hit.t,
+        u0=u[..., 0], u1=u[..., 1], uc=uc, uc2=uc2, u_rr=u_rr,
+        # Python float (static): jnp scalars are tracers under jit and the
+        # pallas wrapper needs the concrete value.
+        reg_threshold=float(cfg.regularize_threshold),
+        base=c3(mat.base), metallic=mat.metallic,
+        roughness=mat.roughness, roughness_base=mat.roughness_base,
+        transmission=mat.transmission, ior=mat.ior,
+        anisotropic=mat.anisotropic, aniso_rotation=mat.aniso_rotation,
+        clearcoat=mat.clearcoat, cc_roughness=mat.cc_roughness,
+        cc_roughness_base=mat.cc_roughness_base,
+        emission=c3(mat.emission), thin=mat.thin,
+        volume_color=c3(mat.volume_color),
+        volume_density=mat.volume_density,
+        pdf_area=pdf_area, sel_p=sel_p,
+    )
+    if ls is not None:
+        inp.update(
+            ls_wi=c3(ls.wi), ls_Li=c3(ls.Li), ls_pdf=ls.pdf,
+            ls_select_p=ls.select_p, ls_n=c3(ls.n), ls_p=c3(ls.p),
+            ls_valid=ls.valid, ls_is_env=ls.is_env,
+        )
+    else:
+        # candidates() still transforms ls_wi into the local frame.
+        inp.update(ls_wi=c3(jnp.zeros((n_l, 3), jnp.float32)))
+
+    if cfg.shade_kernel == "pallas":
+        from yart_tpu.kernels.pallas_shade import shade_pallas
+
+        out = shade_pallas(inp, gates, mis=mis, any_lights=any_lights)
+    else:
+        cand = SM.candidates(inp, gates)
+        fet = SM.run_fetches(lut.load_tables(), cand["coords"])
+        out = SM.finish(inp, cand, fet, gates, mis=mis, any_lights=any_lights)
+
+    s3 = lambda v: jnp.stack(v, axis=-1)
+    L = L + s3(out["L_emit"])
+
+    if mis and any_lights:
+        occ = intersect(
+            scene, meta, sh.p, s3(out["shadow_d"]), out["shadow_tmax"],
+            t_min=RAY_EPS, nee=True,
+            alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
+        )
+        rays = rays + jnp.sum(out["nee_need"].astype(jnp.float32))
+        ok = out["nee_need"] & ~occ.mask
+        L = L + jnp.where(
+            ok[..., None], s3(out["contrib"]) * occ.attenuation, 0.0
+        )
+
+    return _State(
+        o=s3(out["o"]),
+        d=s3(out["d"]),
+        L=L,
+        atten=s3(out["atten"]),
+        active=out["active"],
+        specular=out["specular"],
+        acc_rough=out["acc_rough"],
+        last_pdf=out["last_pdf"],
+        last_p=s3(out["last_p"]),
+        depth=depth + 1,
+        rays=rays,
+    )
+
+
+def _refit_hit(scene: CompiledScene, meta: SceneMeta, hit, o, d):
+    """Differentiable (t, u, v) of the already-found hit triangle.
+
+    The traversal solves the intersection with detached packed rows; here
+    the SAME triangle (ids and visibility stay detached) is re-solved by
+    Moller-Trumbore directly from `scene.positions`, so t/u/v — and with
+    them the hit point, every NEE distance/cosine, and the interpolated
+    shading attributes — become differentiable w.r.t. vertex positions.
+    This is the interior (shading) term of geometry derivatives; silhouette
+    /occlusion terms are detached-by-design like the rest of the sampling
+    decisions (render/diff.py). Reference intersection contract:
+    src/cpu/ray-integrator.cpp:163-201.
+
+    Diff-mode only: the three per-lane vertex gathers are ~10 ns/row each
+    at wavefront scale — acceptable off the hot path.
+    """
+    tri = lax.stop_gradient(jnp.clip(hit.tri, 0, meta.n_tris - 1))
+    idx = lax.stop_gradient(scene.tri_v[tri])  # [N, 3]
+    v0 = scene.positions[idx[:, 0]]
+    v1 = scene.positions[idx[:, 1]]
+    v2 = scene.positions[idx[:, 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    safe = jnp.where(jnp.abs(det) < 1e-12, jnp.where(det < 0, -1e-12, 1e-12), det)
+    inv = 1.0 / safe
+    tv = o - v0
+    u = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, axis=-1) * inv
+    t = jnp.sum(e2 * qv, axis=-1) * inv
+    # Keep the traversal's values where the re-solve is ill-conditioned
+    # (near-degenerate triangle) or the lane missed.
+    ok = hit.mask & (jnp.abs(det) >= 1e-12) & (t > 0.0)
+    return hit._replace(
+        t=jnp.where(ok, t, hit.t),
+        u=jnp.where(ok, u, hit.u),
+        v=jnp.where(ok, v, hit.v),
     )
 
 
@@ -174,6 +346,12 @@ def li(
     n = o.shape[0]
     tables = lut.load_tables()
     sg = lax.stop_gradient if differentiable else (lambda x: x)
+    if differentiable and cfg.shade_kernel != "off":
+        raise NotImplementedError(
+            "shade_kernel: the fused shade path does not thread the "
+            "detached-sampling stop_gradients; use shade_kernel='off' for "
+            "differentiable rendering"
+        )
 
     st = _State(
         o=o,
@@ -214,6 +392,14 @@ def li(
         )
         if differentiable:
             hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
+            if cfg.diff_geometry:
+                if meta.n_instances:
+                    raise NotImplementedError(
+                        "diff_geometry: instanced scenes index virtual "
+                        "triangles; bake the scene (instanced=False) to "
+                        "differentiate geometry"
+                    )
+                hit = _refit_hit(scene, meta, hit, st.o, st.d)
         found = hit.mask & st.active
 
         # ---- miss: environment + background (mis-integrator.cpp:27-43) ----
@@ -237,6 +423,12 @@ def li(
         # ---- surface shading ----
         sh = shading_data(scene, meta, hit, st.o, st.d)
         mat = B.resolve_material(scene, meta, sh.mat, sh.uv)
+
+        if cfg.shade_kernel != "off":
+            return _shade_kernel_body(
+                scene, meta, sampler, lane_state, cfg, st, hit, sh, mat,
+                found, L, dim0, rays, bounce_seed, mis,
+            )
 
         u = sampler.get2d(lane_state, dim0)
         uc = sampler.get1d(lane_state, dim0 + 2)
