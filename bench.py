@@ -242,14 +242,69 @@ def bench_atrium(results):
     results["atrium_fwdbwd"] = total / (time.time() - t0) / 1e6
 
 
+def bench_shade_kernel(results):
+    """Fused shade path (kernels/pallas_shade.py + shade_math.py) on the
+    cornell wave — cornell_mis_shade_{xla,pallas} Mrays/s vs the classic
+    body. Env-gated (YART_BENCH_SHADE=1): each variant is a fresh
+    integrator compile (~10+ min cold on axon), too slow for the driver's
+    default bench budget."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+    from yart_tpu.scene.procedural import cornell_box
+
+    size = (256, 256)
+    spp = 8
+    scene, meta = cornell_box(extra_materials=True).compile()
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=28.0, position=(0, 1.0, 3.4),
+        forward=(0, 0, -1),
+    ))
+    w, h = size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidxs = [
+        jnp.asarray(np.roll(np.tile(np.arange(spp), h * w), r), jnp.uint32)
+        for r in range(4)
+    ]
+
+    for mode in ("xla", "pallas"):
+        cfg = dataclasses.replace(
+            RenderConfig(samples=spp, max_depth=8), shade_kernel=mode
+        )
+        sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+        fn = jax.jit(lambda s, px, py, si, cfg=cfg, sampler=sampler:
+                     render_wave(s, meta, cam, sampler, cfg, px, py, si))
+        out, rays = fn(scene, px, py, sidxs[0])
+        float(jnp.sum(out[:8]))
+        t0 = time.time()
+        total = 0.0
+        reps = 3
+        for r in range(reps):
+            out, rays = fn(scene, px, py, sidxs[1 + r])
+            float(jnp.sum(out[:8]))
+            total += float(rays)
+        results[f"cornell_mis_shade_{mode}"] = total / (time.time() - t0) / 1e6
+
+
 def main():
     from yart_tpu.cache import enable_compile_cache
 
     enable_compile_cache()
     results = {}
     errors = {}
-    for name, fn in (("bigscene", bench_bigscene), ("cornell", bench_cornell),
-                     ("atrium", bench_atrium)):
+    sections = [("bigscene", bench_bigscene), ("cornell", bench_cornell),
+                ("atrium", bench_atrium)]
+    if os.environ.get("YART_BENCH_SHADE"):
+        sections.append(("shade", bench_shade_kernel))
+    for name, fn in sections:
         try:
             fn(results)
         except Exception as e:  # keep the bench robust: report what ran

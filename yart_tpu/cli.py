@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--max-wave", type=int, default=128)
     p.add_argument("--chunk-pixels", type=int, default=None,
                    help="pixels per device dispatch (memory knob)")
+    p.add_argument("--shade-kernel", choices=["off", "xla", "pallas"],
+                   default="off",
+                   help="fused per-bounce shade path (kernels/pallas_shade"
+                        ".py): one Pallas kernel replaces the post-intersect"
+                        " small-op tail; 'xla' is the equivalence-tested "
+                        "fallback assembly")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; resume if present, save per wave")
     p.add_argument("--preview", default=None,
@@ -204,6 +210,7 @@ def main(argv=None) -> int:
         first_wave_samples=args.first_wave,
         max_wave_samples=args.max_wave,
         lane_chunk=args.chunk_pixels,
+        shade_kernel=args.shade_kernel,
     )
 
     if not args.quiet:
