@@ -23,13 +23,16 @@ No per-lane gathers, no scatters, no multi-million-element sorts — the only
 by the Pallas pipeline. Under-K overflow is handled by the caller re-running
 rounds with a lexicographic window (render/blocktrace.py docstring).
 
-Packed selection keys: key = (f32_bits(entry) & ~0xFFF) | cluster_id, an
+Packed selection keys: key = (f32_bits(entry) & ~ID_MASK) | cluster_id, an
 int32 whose ordering is (quantized entry, id) lex order. Entries are
-positive floats so the bit pattern is order-preserving; clearing the low 12
-mantissa bits makes room for the id and only ever *lowers* the entry, so a
-bound derived from a key is a conservative lower bound on every dropped
-cluster's true entry distance. ID_BITS=12 caps scenes at 4096 clusters
-(~512k triangles at C=128); bigger scenes fall back to render/bintrace.py.
+positive floats so the bit pattern is order-preserving; clearing the low
+ID_BITS mantissa bits makes room for the id and only ever *lowers* the
+entry, so a bound derived from a key is a conservative lower bound on every
+dropped cluster's true entry distance. ID_BITS=13 caps scenes at 8192
+clusters (~1M triangles at C=128, and instanced scenes spend one id per
+instance-cluster); bigger scenes fall back to render/bintrace.py. The
+quantization costs <= 2^-10 relative entry precision — only ever extra
+conservative work, never a wrong hit.
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from yart_tpu.kernels.pallas_cluster import EPS_DET, F32_MAX
 
 LANE = 128
-ID_BITS = 12
+ID_BITS = 13
 ID_MASK = (1 << ID_BITS) - 1
 KEY_DEAD = (1 << 31) - 1  # int32 max: masked / exhausted
 

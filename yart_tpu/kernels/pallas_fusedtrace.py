@@ -67,7 +67,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from yart_tpu.kernels.pallas_blocktrace import ID_MASK, KEY_DEAD
+from yart_tpu.kernels.pallas_blocktrace import ID_BITS, ID_MASK, KEY_DEAD
+
+# Block sort key layout (presort): [nothing | heavy | cid0 | cid1] — two
+# ID_BITS-wide cluster ids plus two flag bits above them.
+SKEY_HEAVY = 1 << (2 * ID_BITS)
+SKEY_NOTHING = SKEY_HEAVY << 1
 from yart_tpu.kernels.pallas_cluster import (
     EPS_DET,
     F32_MAX,
@@ -75,7 +80,7 @@ from yart_tpu.kernels.pallas_cluster import (
     _pair_test_mxu,
 )
 
-MAX_ITERS = 4096  # safety cap == max clusters (ID_BITS)
+MAX_ITERS = 1 << ID_BITS  # safety cap == max clusters
 
 # Cluster packs up to this size stay VMEM-resident for the whole grid
 # (dynamic-slice reads instead of per-iteration DMAs); bigger scenes
@@ -306,7 +311,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
         for mk in ms:
             # Dead tail slots read cluster 0 harmlessly; their t folds
-            # to F32_MAX. (mk & ID_MASK of KEY_DEAD is 0xFFF -> clamp.)
+            # to F32_MAX. (mk & ID_MASK of KEY_DEAD is ID_MASK -> clamp.)
             cid = jnp.minimum(mk & ID_MASK, n_clus - 1)
             if inst is not None:
                 tri = pack_ref[csrc_ref[cid]]
@@ -514,8 +519,8 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
     # 2nd-nearest) cluster pair so blocks share cluster sets.
     skey = jnp.where(
         nothing,
-        1 << 25,
-        jnp.where(heavy, 1 << 24, 0) | (cid0 << 12) | (cid1 & ID_MASK),
+        SKEY_NOTHING,
+        jnp.where(heavy, SKEY_HEAVY, 0) | (cid0 << ID_BITS) | (cid1 & ID_MASK),
     )
     out_ref[...] = jnp.concatenate(
         [skey] + slots + [count, jnp.zeros((block, 4), jnp.int32)], axis=1

@@ -33,6 +33,7 @@ from jax import lax
 
 from yart_tpu.kernels.pallas_blocktrace import (
     ID_MASK,
+    ID_BITS,
     KEY_DEAD,
     select_clusters_pallas,
     test_clusters_pallas,
@@ -43,7 +44,7 @@ from yart_tpu.ops.qmc import mix32, u32_to_unit_float
 _BIG = jnp.float32(3.0e38)
 _WKEY0 = -(1 << 31)  # initial window: everything eligible
 
-MAX_CLUSTERS = 1 << 12  # ID_BITS; bigger scenes use render/bintrace.py
+MAX_CLUSTERS = 1 << ID_BITS  # bigger scenes use render/bintrace.py
 
 
 def _n_clus(meta) -> int:
@@ -111,8 +112,10 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
     else:
         live = None
     if meta is not None:
+        from yart_tpu.kernels.pallas_fusedtrace import SKEY_NOTHING
+
         # Live = anything below the nothing bit (incl. heavy-tagged rays).
-        lane_live = key[order] < (1 << 25)
+        lane_live = key[order] < SKEY_NOTHING
         if live is not None:
             lane_live = lane_live & live
         blive = jnp.any(
@@ -191,8 +194,10 @@ def intersect_blocktrace(
         )
         inv = jnp.argsort(order)
         rays_s = rays[order]
+        from yart_tpu.kernels.pallas_fusedtrace import SKEY_NOTHING
+
         blive = jnp.any(
-            (key_s < (1 << 25)).reshape(-1, block), axis=1
+            (key_s < SKEY_NOTHING).reshape(-1, block), axis=1
         ).astype(jnp.int32)
 
         inst_kw = {}
