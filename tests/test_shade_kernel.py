@@ -271,3 +271,183 @@ def test_integrator_pallas_shade_matches_xla():
         scene, meta, dataclasses.replace(base, shade_kernel="pallas")
     )
     _assert_images_equivalent(a, b, ra, rb)
+
+
+def test_pallas_dead_block_passthrough(lanes):
+    """All-inactive blocks take the blive skip; outputs must equal the
+    finish() passthrough semantics (state copied, zero contributions)."""
+    from yart_tpu.kernels.pallas_shade import shade_pallas
+
+    inp = _component_inputs(lanes)
+    n_l = lanes["n"].shape[0]
+    zero3 = (jnp.zeros(n_l), jnp.zeros(n_l), jnp.zeros(n_l))
+    inp.update(
+        o=zero3, p=inp["n"], atten=(jnp.ones(n_l),) * 3,
+        last_p=zero3, last_pdf=jnp.ones(n_l),
+        found=jnp.zeros(n_l, bool), active=jnp.zeros(n_l, bool),
+        specular_prev=jnp.zeros(n_l, bool),
+        depth0=jnp.zeros(n_l, bool), rr_on=jnp.ones(n_l, bool),
+        light_neg=jnp.ones(n_l, bool), hit_back=jnp.zeros(n_l, bool),
+        hit_t=jnp.ones(n_l), u_rr=jnp.asarray(lanes["uc"]),
+        pdf_area=jnp.zeros(n_l), sel_p=jnp.zeros(n_l),
+        ls_Li=zero3, ls_pdf=jnp.ones(n_l), ls_select_p=jnp.ones(n_l),
+        ls_n=inp["n"], ls_p=zero3, ls_valid=jnp.ones(n_l, bool),
+        ls_is_env=jnp.zeros(n_l, bool),
+    )
+    out = shade_pallas(inp, GATES, mis=True, any_lights=True)
+    assert not np.asarray(out["active"]).any()
+    assert not np.asarray(out["nee_need"]).any()
+    np.testing.assert_array_equal(_stack(out["L_emit"]), 0.0)
+    np.testing.assert_array_equal(_stack(out["contrib"]), 0.0)
+    np.testing.assert_array_equal(_stack(out["o"]), 0.0)
+    np.testing.assert_array_equal(_stack(out["d"]), _stack(inp["d"]))
+    np.testing.assert_array_equal(_stack(out["atten"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["last_pdf"]), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out["shadow_tmax"]), -1.0
+    )
+
+
+def test_inkernel_draws_bit_exact():
+    """Component-form ZSobol / Hash draws (shade_math.zsobol_get*_c,
+    hash_get1d_c) must reproduce ops/qmc.py BIT-exactly — the property that
+    keeps images identical when the pallas shade kernel computes its own
+    sampler dims."""
+    from yart_tpu.ops.qmc import (
+        HashSampler,
+        U32,
+        ZSobolSampler,
+        sobol_matrix_dim1,
+    )
+
+    rng = np.random.default_rng(3)
+    n_l = 256
+    px = jnp.asarray(rng.integers(0, 512, n_l), jnp.uint32)
+    py = jnp.asarray(rng.integers(0, 512, n_l), jnp.uint32)
+    sidx = jnp.asarray(rng.integers(0, 8, n_l), jnp.uint32)
+
+    zs = ZSobolSampler(8, (512, 512), seed=0)
+    st = zs.init_lanes(px, py, sidx)
+    matrix1 = tuple(int(x) for x in sobol_matrix_dim1())
+    for dim in (4, 7, 12, 27):
+        ref1 = np.asarray(zs.get1d(st, jnp.uint32(dim)))
+        got1 = np.asarray(SM.zsobol_get1d_c(
+            st.hi, st.lo, zs._perm_c[dim], zs._seed_1d[dim],
+            zs.n_base4_digits, zs.log2spp,
+        ))
+        np.testing.assert_array_equal(ref1, got1, err_msg=f"get1d dim {dim}")
+
+        ref2 = np.asarray(zs.get2d(st, jnp.uint32(dim)))
+        ga, gb = SM.zsobol_get2d_c(
+            st.hi, st.lo, zs._perm_c[dim], zs._seed_2d_a[dim],
+            zs._seed_2d_b[dim], zs.n_base4_digits, zs.log2spp, matrix1,
+        )
+        np.testing.assert_array_equal(ref2[:, 0], np.asarray(ga))
+        np.testing.assert_array_equal(ref2[:, 1], np.asarray(gb))
+
+    hs = HashSampler(8, (512, 512), seed=0)
+    sth = hs.init_lanes(px, py, sidx)
+    for dim in (4, 7, 12):
+        ref = np.asarray(hs.get1d(sth, jnp.uint32(dim)))
+        got = np.asarray(SM.hash_get1d_c(
+            sth, jnp.uint32(dim) * U32(0xC2B2AE35)
+        ))
+        np.testing.assert_array_equal(ref, got, err_msg=f"hash dim {dim}")
+
+
+def test_draws_pallas_bit_exact():
+    """The draws kernel end-to-end (pack + pallas + unpack, interpret on
+    CPU) vs the sampler's own XLA draws."""
+    from yart_tpu.kernels.pallas_shade import draws_pallas, sampler_draw_setup
+    from yart_tpu.ops.qmc import HashSampler, ZSobolSampler
+
+    rng = np.random.default_rng(5)
+    n_l = 300  # deliberately not a block multiple (exercises padding)
+    px = jnp.asarray(rng.integers(0, 256, n_l), jnp.uint32)
+    py = jnp.asarray(rng.integers(0, 256, n_l), jnp.uint32)
+    sidx = jnp.asarray(rng.integers(0, 4, n_l), jnp.uint32)
+
+    for sampler in (ZSobolSampler(4, (256, 256)), HashSampler(4, (256, 256))):
+        st = sampler.init_lanes(px, py, sidx)
+        dim0 = jnp.uint32(12)
+        setup = sampler_draw_setup(sampler, st, dim0)
+        assert setup is not None
+        out = draws_pallas(setup, n_l)
+        u = np.asarray(sampler.get2d(st, dim0))
+        u_l = np.asarray(sampler.get2d(st, dim0 + 5))
+        np.testing.assert_array_equal(np.asarray(out["u0"]), u[:, 0])
+        np.testing.assert_array_equal(np.asarray(out["u1"]), u[:, 1])
+        np.testing.assert_array_equal(
+            np.asarray(out["uc"]), np.asarray(sampler.get1d(st, dim0 + 2)))
+        np.testing.assert_array_equal(
+            np.asarray(out["uc2"]), np.asarray(sampler.get1d(st, dim0 + 3)))
+        np.testing.assert_array_equal(
+            np.asarray(out["uc_l"]), np.asarray(sampler.get1d(st, dim0 + 4)))
+        np.testing.assert_array_equal(np.asarray(out["ul0"]), u_l[:, 0])
+        np.testing.assert_array_equal(np.asarray(out["ul1"]), u_l[:, 1])
+        np.testing.assert_array_equal(
+            np.asarray(out["u_rr"]), np.asarray(sampler.get1d(st, dim0 + 7)))
+
+
+def test_pallas_shade_mesh_invariance():
+    """The pallas shade path must partition over a device mesh and stay
+    bit-identical to the single-device render (8-virtual-device conftest
+    mesh; samplers are counter-based so sharding cannot change streams)."""
+    import dataclasses
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.render.renderer import Renderer
+    from yart_tpu.scene.procedural import cornell_box
+
+    scene, meta = cornell_box(extra_materials=True).compile()
+    cam = CameraConfig(image_size=(16, 16), focal_length=28.0,
+                       position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    cfg = dataclasses.replace(
+        RenderConfig(samples=4, max_depth=4, first_wave_samples=4,
+                     max_wave_samples=4, tonemap="none"),
+        shade_kernel="pallas",
+    )
+    r1 = Renderer(scene, meta, cam, cfg, devices=None).render().hdr
+    r4 = Renderer(scene, meta, cam, cfg, devices=4).render().hdr
+    np.testing.assert_array_equal(r1, r4)
+
+
+def test_integrator_pallas_shade_textured():
+    """Textured scene (atlas-resolved materials + normal maps enter the
+    kernel as inputs): pallas vs classic."""
+    import dataclasses
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+    from yart_tpu.scene.procedural import textured_box_scene
+
+    scene, meta = textured_box_scene().compile()
+    size = (10, 10)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=26.0,
+                     position=(0.0, 1.2, 4.0), forward=(0, -0.15, -1))
+    )
+    spp = 4
+    w, h = size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(spp), w * h), jnp.uint32)
+
+    imgs = {}
+    for mode in ("off", "pallas"):
+        cfg = dataclasses.replace(
+            RenderConfig(samples=spp, max_depth=4), shade_kernel=mode
+        )
+        sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+        img, rays = jax.jit(
+            lambda cfg=cfg, sampler=sampler: render_wave(
+                scene, meta, cam, sampler, cfg, px, py, sidx
+            )
+        )()
+        imgs[mode] = (np.asarray(img), float(rays))
+    a, ra = imgs["off"]
+    b, rb = imgs["pallas"]
+    _assert_images_equivalent(a, b, ra, rb)

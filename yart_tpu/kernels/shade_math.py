@@ -1194,3 +1194,98 @@ def finish(inp, cand, fet, gates, mis=True, any_lights=True):
         last_pdf=jnp.where(active, smp["pdf"], inp["last_pdf"]),
         last_p=vwhere(active, p, inp["last_p"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel sampler draws (ops/qmc.py ZSobol / Hash, component form)
+#
+# The classic bounce body draws u/uc/uc2/u_rr with per-digit one-hot S4
+# permutation DOTS — ~50 tiny [N, 24] matmuls per bounce, each an XLA
+# fusion boundary. Inside the kernel the packed permutation bytes are
+# Python constants, so the lookup is a 24-step compare-select on registers
+# and every draw is pure u32 bit math on [Bs, 128] tiles. ops/qmc.py's u64
+# helpers are elementwise and reused directly; equivalence is bit-exact
+# (tests/test_shade_kernel.py::test_inkernel_draws_bit_exact).
+# ---------------------------------------------------------------------------
+
+
+def _perm_packed_const():
+    import numpy as np
+
+    from yart_tpu.ops.qmc import _perm_table
+
+    pt = _perm_table().reshape(24, 4).astype(np.uint32)
+    packed = pt[:, 0] | (pt[:, 1] << 2) | (pt[:, 2] << 4) | (pt[:, 3] << 6)
+    return tuple(int(x) for x in packed)
+
+
+_PERM_PACKED = _perm_packed_const()
+
+
+def zsobol_index_c(hi, lo, perm_c, n_base4_digits: int, log2spp: int):
+    """sampler.hpp:155-173 _sample_index with the S4 permutation lookup as
+    a constant compare-select chain. hi/lo: [.] uint32; perm_c: scalar u32."""
+    from yart_tpu.ops import qmc
+
+    U32 = jnp.uint32
+    morton = qmc.U64(hi, lo)
+    pow2_samples = bool(log2spp & 1)
+    last_digit = 1 if pow2_samples else 0
+    out_hi = jnp.zeros_like(lo)
+    out_lo = jnp.zeros_like(lo)
+    for i in range(n_base4_digits - 1, last_digit - 1, -1):
+        digit_shift = 2 * i - last_digit
+        shifted = qmc.u64_shr(morton, digit_shift)
+        digit = shifted.lo & U32(3)
+        higher = qmc.u64_shr(morton, digit_shift + 2)
+        mixed = qmc.mix_bits64(qmc.U64(higher.hi, higher.lo ^ perm_c))
+        p = qmc.u64_mod24(qmc.u64_shr(mixed, 24))
+        packed = jnp.zeros_like(lo)
+        for t, val in enumerate(_PERM_PACKED):
+            packed = jnp.where(p == U32(t), U32(val), packed)
+        digit = (packed >> (digit * U32(2))) & U32(3)
+        placed = qmc.u64_shl(qmc.u64_from_u32(digit), digit_shift)
+        out_hi |= placed.hi
+        out_lo |= placed.lo
+    if pow2_samples:
+        digit = morton.lo & U32(1)
+        m1 = qmc.u64_shr(morton, 1)
+        mixed = qmc.mix_bits64(qmc.U64(m1.hi, m1.lo ^ perm_c))
+        out_lo |= digit ^ (mixed.lo & U32(1))
+    return out_hi, out_lo
+
+
+def zsobol_get1d_c(hi, lo, perm_c, seed, n_base4_digits: int, log2spp: int):
+    from yart_tpu.ops import qmc
+
+    _, idx_lo = zsobol_index_c(hi, lo, perm_c, n_base4_digits, log2spp)
+    v = qmc.reverse_bits32(idx_lo)
+    v = qmc.scramble_fast_owen(v, seed)
+    return qmc.u32_to_unit_float(v)
+
+
+def zsobol_get2d_c(hi, lo, perm_c, seed_a, seed_b, n_base4_digits: int,
+                   log2spp: int, matrix1: tuple):
+    from yart_tpu.ops import qmc
+
+    U32 = jnp.uint32
+    idx_hi, idx_lo = zsobol_index_c(hi, lo, perm_c, n_base4_digits, log2spp)
+    va = qmc.reverse_bits32(idx_lo)
+    vb = jnp.zeros_like(idx_lo)
+    for i in range(32):
+        bit = (idx_lo >> U32(i)) & U32(1)
+        vb ^= bit * U32(matrix1[i])
+    for i in range(len(matrix1) - 32):
+        bit = (idx_hi >> U32(i)) & U32(1)
+        vb ^= bit * U32(matrix1[32 + i])
+    va = qmc.scramble_fast_owen(va, seed_a)
+    vb = qmc.scramble_fast_owen(vb, seed_b)
+    return qmc.u32_to_unit_float(va), qmc.u32_to_unit_float(vb)
+
+
+def hash_get1d_c(state, dim_const):
+    """ops/qmc.py HashSampler.get1d with dim * 0xC2B2AE35 prefolded into
+    the scalar dim_const."""
+    from yart_tpu.ops import qmc
+
+    return qmc.u32_to_unit_float(qmc.mix32(state ^ dim_const))

@@ -157,10 +157,28 @@ def _shade_kernel_body(
     depth = st.depth
     zero = jnp.zeros((n_l,), jnp.float32)
 
-    u = sampler.get2d(lane_state, dim0)
-    uc = sampler.get1d(lane_state, dim0 + 2)
-    uc2 = sampler.get1d(lane_state, dim0 + 3)
-    u_rr = sampler.get1d(lane_state, dim0 + 7) if mis else zero
+    # All 8 of the bounce's sampler dims from ONE pallas kernel when the
+    # sampler supports it (bit-exact vs the XLA draws — ZSobol's per-digit
+    # S4 permutation one-hot dots are ~70 tiny matmul fusions per bounce).
+    draws = None
+    if cfg.shade_kernel == "pallas":
+        from yart_tpu.kernels.pallas_shade import (
+            draws_pallas,
+            sampler_draw_setup,
+        )
+
+        setup = sampler_draw_setup(sampler, lane_state, dim0)
+        if setup is not None:
+            draws = draws_pallas(setup, n_l)
+    if draws is None:
+        u = sampler.get2d(lane_state, dim0)
+        u0, u1 = u[..., 0], u[..., 1]
+        uc = sampler.get1d(lane_state, dim0 + 2)
+        uc2 = sampler.get1d(lane_state, dim0 + 3)
+        u_rr = sampler.get1d(lane_state, dim0 + 7) if mis else zero
+    else:
+        u0, u1 = draws["u0"], draws["u1"]
+        uc, uc2, u_rr = draws["uc"], draws["uc2"], draws["u_rr"]
 
     # Emitted-MIS light row (same contraction as the classic body).
     if mis and meta.n_lights:
@@ -180,8 +198,12 @@ def _shade_kernel_body(
         sel_p = zero
 
     if mis and any_lights:
-        uc_l = sampler.get1d(lane_state, dim0 + 4)
-        u_l = sampler.get2d(lane_state, dim0 + 5)
+        if draws is None:
+            uc_l = sampler.get1d(lane_state, dim0 + 4)
+            u_l = sampler.get2d(lane_state, dim0 + 5)
+        else:
+            uc_l = draws["uc_l"]
+            u_l = jnp.stack([draws["ul0"], draws["ul1"]], axis=-1)
         ls = lights.sample_light(
             scene, meta, sh.p, uc_l, u_l, kind=cfg.light_sampler
         )
@@ -198,7 +220,7 @@ def _shade_kernel_body(
         rr_on=jnp.broadcast_to(depth + 1 >= cfg.rr_start_depth, (n_l,)),
         light_neg=sh.light < 0,
         hit_back=sh.back, hit_t=hit.t,
-        u0=u[..., 0], u1=u[..., 1], uc=uc, uc2=uc2, u_rr=u_rr,
+        u0=u0, u1=u1, uc=uc, uc2=uc2, u_rr=u_rr,
         # Python float (static): jnp scalars are tracers under jit and the
         # pallas wrapper needs the concrete value.
         reg_threshold=float(cfg.regularize_threshold),
