@@ -293,6 +293,31 @@ def bench_shade_kernel(results):
             total += float(rays)
         results[f"cornell_mis_shade_{mode}"] = total / (time.time() - t0) / 1e6
 
+    # Flagship-scale shade variant: the atrium wave's non-traversal tail is
+    # ~45% (tools/profile_wave.py) — this is where the kernel should pay.
+    from yart_tpu.scene.showcase import atrium
+
+    scene_a, meta_a = atrium().compile()
+    cam_a = build_camera(CameraConfig(
+        image_size=size, focal_length=28.0, position=(-10.0, 1.8, 0.0),
+        forward=(18.0, 0.8, 0.0), exposure=3.0,
+    ))
+    cfg = dataclasses.replace(
+        RenderConfig(samples=spp, max_depth=8), shade_kernel="pallas"
+    )
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    fn = jax.jit(lambda s, px, py, si: render_wave(
+        s, meta_a, cam_a, sampler, cfg, px, py, si))
+    out, rays = fn(scene_a, px, py, sidxs[0])
+    float(jnp.sum(out[:8]))
+    t0 = time.time()
+    total = 0.0
+    for r in range(3):
+        out, rays = fn(scene_a, px, py, sidxs[1 + r])
+        float(jnp.sum(out[:8]))
+        total += float(rays)
+    results["atrium_wave_shade_pallas"] = total / (time.time() - t0) / 1e6
+
 
 def main():
     from yart_tpu.cache import enable_compile_cache

@@ -4,6 +4,7 @@
 # we patch a throwaway copy in /tmp (never committed) by relaxing constexpr
 # and add missing std includes via a forced prelude. Validation only.
 set -e
+HERE=$(cd "$(dirname "$0")" && pwd)
 OUT=${1:-/tmp/oracle}
 mkdir -p "$OUT"
 rm -rf "$OUT/src" && cp -r /root/reference/src "$OUT/src"
@@ -61,7 +62,7 @@ cat > "$OUT/unity.cpp" <<'UNITY'
 #include "main.cpp"
 #include "/root/reference/stb-image/impl.cpp"
 UNITY
-cp "$(dirname "$0")/furnace_oracle.cpp" "$OUT/main.cpp"
+cp "$HERE/furnace_oracle.cpp" "$OUT/main.cpp"
 cd "$OUT"
 g++ -O2 -std=c++20 -include prelude.hpp -Isrc -I/root/reference/xoshiro-rng -I/root/reference/stb-image -o oracle unity.cpp
 echo "built $OUT/oracle"

@@ -42,8 +42,62 @@ static void dumpBuffer(const Buffer& buffer, const std::string& path,
   fclose(f);
 }
 
+// exact f32 vertices of yart_tpu procedural.box_mesh (generated)
+static const float kTallBox[24][3] = {
+  {-5.149540901e-01f, 0.000000000e+00f, -3.728580475e-02f},
+  {-3.728580475e-02f, 0.000000000e+00f, -1.850459278e-01f},
+  {-3.728580475e-02f, 2.400000095e+00f, -1.850459278e-01f},
+  {-5.149540901e-01f, 2.400000095e+00f, -3.728580475e-02f},
+  {-1.850459278e-01f, 0.000000000e+00f, -6.627141833e-01f},
+  {-6.627141833e-01f, 0.000000000e+00f, -5.149540901e-01f},
+  {-6.627141833e-01f, 2.400000095e+00f, -5.149540901e-01f},
+  {-1.850459278e-01f, 2.400000095e+00f, -6.627141833e-01f},
+  {-3.728580475e-02f, 0.000000000e+00f, -1.850459278e-01f},
+  {-1.850459278e-01f, 0.000000000e+00f, -6.627141833e-01f},
+  {-1.850459278e-01f, 2.400000095e+00f, -6.627141833e-01f},
+  {-3.728580475e-02f, 2.400000095e+00f, -1.850459278e-01f},
+  {-6.627141833e-01f, 0.000000000e+00f, -5.149540901e-01f},
+  {-5.149540901e-01f, 0.000000000e+00f, -3.728580475e-02f},
+  {-5.149540901e-01f, 2.400000095e+00f, -3.728580475e-02f},
+  {-6.627141833e-01f, 2.400000095e+00f, -5.149540901e-01f},
+  {-5.149540901e-01f, 2.400000095e+00f, -3.728580475e-02f},
+  {-3.728580475e-02f, 2.400000095e+00f, -1.850459278e-01f},
+  {-1.850459278e-01f, 2.400000095e+00f, -6.627141833e-01f},
+  {-6.627141833e-01f, 2.400000095e+00f, -5.149540901e-01f},
+  {-6.627141833e-01f, 0.000000000e+00f, -5.149540901e-01f},
+  {-1.850459278e-01f, 0.000000000e+00f, -6.627141833e-01f},
+  {-3.728580475e-02f, 0.000000000e+00f, -1.850459278e-01f},
+  {-5.149540901e-01f, 0.000000000e+00f, -3.728580475e-02f},
+};
+static const float kShortBox[24][3] = {
+  {9.592092037e-02f, 0.000000000e+00f, 5.303770900e-01f},
+  {5.803771019e-01f, 0.000000000e+00f, 6.540790796e-01f},
+  {5.803771019e-01f, 1.000000000e+00f, 6.540790796e-01f},
+  {9.592092037e-02f, 1.000000000e+00f, 5.303770900e-01f},
+  {7.040790915e-01f, 0.000000000e+00f, 1.696228832e-01f},
+  {2.196228951e-01f, 0.000000000e+00f, 4.592090845e-02f},
+  {2.196228951e-01f, 1.000000000e+00f, 4.592090845e-02f},
+  {7.040790915e-01f, 1.000000000e+00f, 1.696228832e-01f},
+  {5.803771019e-01f, 0.000000000e+00f, 6.540790796e-01f},
+  {7.040790915e-01f, 0.000000000e+00f, 1.696228832e-01f},
+  {7.040790915e-01f, 1.000000000e+00f, 1.696228832e-01f},
+  {5.803771019e-01f, 1.000000000e+00f, 6.540790796e-01f},
+  {2.196228951e-01f, 0.000000000e+00f, 4.592090845e-02f},
+  {9.592092037e-02f, 0.000000000e+00f, 5.303770900e-01f},
+  {9.592092037e-02f, 1.000000000e+00f, 5.303770900e-01f},
+  {2.196228951e-01f, 1.000000000e+00f, 4.592090845e-02f},
+  {9.592092037e-02f, 1.000000000e+00f, 5.303770900e-01f},
+  {5.803771019e-01f, 1.000000000e+00f, 6.540790796e-01f},
+  {7.040790915e-01f, 1.000000000e+00f, 1.696228832e-01f},
+  {2.196228951e-01f, 1.000000000e+00f, 4.592090845e-02f},
+  {2.196228951e-01f, 0.000000000e+00f, 4.592090845e-02f},
+  {7.040790915e-01f, 0.000000000e+00f, 1.696228832e-01f},
+  {5.803771019e-01f, 0.000000000e+00f, 6.540790796e-01f},
+  {9.592092037e-02f, 0.000000000e+00f, 5.303770900e-01f},
+};
+
 static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
-                       const std::string& dump) {
+                       const std::string& dump, bool extraBoxes) {
   using namespace math;
   std::vector<float3> verts;
   std::vector<VertexData> vdata;
@@ -56,6 +110,22 @@ static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
   addQuad(verts, vdata, faces, {s,0,-s},{s,2,-s},{s,2,s},{s,0,s}, 2);
   addQuad(verts, vdata, faces, {-0.3f,1.995f,0.3f},{0.3f,1.995f,0.3f},
           {0.3f,1.995f,-0.3f},{-0.3f,1.995f,-0.3f}, 3);
+  if (extraBoxes) {
+    // cornell-mat variant: metal tall box + glass short box, geometry
+    // identical to procedural.cornell_box(extra_materials=True).
+    auto addBox = [&](const float (*v)[3], uint32_t mat) {
+      using math::float3;
+      for (int f = 0; f < 6; f++) {
+        const float(*q)[3] = v + 4 * f;
+        addQuad(verts, vdata, faces, float3(q[0][0], q[0][1], q[0][2]),
+                float3(q[1][0], q[1][1], q[1][2]),
+                float3(q[2][0], q[2][1], q[2][2]),
+                float3(q[3][0], q[3][1], q[3][2]), mat);
+      }
+    };
+    addBox(kTallBox, 4);
+    addBox(kShortBox, 5);
+  }
 
   Scene scene((Node()));
   auto mat = [&](float3 base, float3 em) {
@@ -68,6 +138,18 @@ static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
   mat(float3(0.65f,0.05f,0.05f), float3(0));
   mat(float3(0.12f,0.45f,0.15f), float3(0));
   mat(float3(0,0,0), float3(15.0f, 12.75f, 10.5f));
+  if (extraBoxes) {
+    // metal: base (0.9, 0.7, 0.3), metallic 1, roughness 0.2
+    scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
+        float3(0.9f, 0.7f, 0.3f), nullptr, nullptr, nullptr, nullptr,
+        nullptr, nullptr, 1.0f, 0.2f, 0.0f, 1.5f, 0.0f, 0.0f, 0.0f, 0.0f,
+        float3(0), 1.0f, false, float3(1), 0.0f)));
+    // glass: transmission 1, roughness 0.05, ior 1.5, solid
+    scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
+        float3(1, 1, 1), nullptr, nullptr, nullptr, nullptr, nullptr,
+        nullptr, 0.0f, 0.05f, 1.0f, 1.5f, 0.0f, 0.0f, 0.0f, 0.0f,
+        float3(0), 1.0f, false, float3(1), 0.0f)));
+  }
 
   scene.addMesh(std::make_unique<Mesh>(verts, vdata, faces));
   Node meshNode(&scene.mesh(0));
@@ -250,9 +332,95 @@ int benchMain(uint32_t nRays, bool coherent, uint32_t nThreads) {
 
 }  // namespace
 
+// probe mode: evaluate the reference ParametricBSDF's f/pdf directly on a
+// deterministic direction grid (identity shading frame), for lane-level
+// comparison against render/bsdf.py. argv: probe roughness metallic
+// transmission clearcoat ccR thin ior aniso anisoRot
+static int probeMain(int argc, char** argv) {
+  using namespace math;
+  float r = argc > 2 ? atof(argv[2]) : 0.5f;
+  float m = argc > 3 ? atof(argv[3]) : 0.0f;
+  float t = argc > 4 ? atof(argv[4]) : 0.0f;
+  float cc = argc > 5 ? atof(argv[5]) : 0.0f;
+  float ccr = argc > 6 ? atof(argv[6]) : 0.0f;
+  bool thin = argc > 7 && atoi(argv[7]) != 0;
+  float ior = argc > 8 ? atof(argv[8]) : 1.5f;
+  float aniso = argc > 9 ? atof(argv[9]) : 0.0f;
+  float arot = argc > 10 ? atof(argv[10]) : 0.0f;
+
+  ParametricBSDF bsdf(
+      float3(0.8f, 0.6f, 0.4f), nullptr, nullptr, nullptr, nullptr, nullptr,
+      nullptr, m, r, t, ior, aniso, arot, cc, ccr, float3(0), 1.0f, thin,
+      float3(1), 0.0f);
+  const float3 n(0, 0, 1), tg(1, 0, 0);
+  const float2 uv(0, 0);
+  // 8 polar x 8 azimuth outgoing dirs x same incoming set
+  for (int i = 0; i < 8; i++) {
+    for (int j = 0; j < 8; j++) {
+      float tho = (0.1f + 0.75f * float(i) / 7) * float(M_PI);  // incl. below
+      float pho = 2.0f * float(M_PI) * float(j) / 8;
+      float3 wo(std::sin(tho) * std::cos(pho), std::sin(tho) * std::sin(pho),
+                std::cos(tho));
+      for (int k = 0; k < 8; k++) {
+        float thi = (0.08f + 0.8f * float(k) / 7) * float(M_PI);
+        float phi = 2.0f * float(M_PI) * float((k * 3 + j) % 8) / 8 + 0.37f;
+        float3 wi(std::sin(thi) * std::cos(phi), std::sin(thi) * std::sin(phi),
+                  std::cos(thi));
+        float3 f = bsdf.f(wo, wi, n, tg, uv);
+        float pdf = bsdf.pdf(wo, wi, n, tg, uv);
+        printf("%.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g\n",
+               wo.x(), wo.y(), wo.z(), wi.x(), wi.y(), wi.z(),
+               f.x(), f.y(), f.z(), pdf, 0.0);
+      }
+    }
+  }
+  return 0;
+}
+
+// probesample mode: deterministic BSDF samples (same args as probe).
+// Prints wo(3) u(2) uc uc2 flags wi(3) f(3) pdf per row.
+static int probeSampleMain(int argc, char** argv) {
+  using namespace math;
+  float r = argc > 2 ? atof(argv[2]) : 0.5f;
+  float m = argc > 3 ? atof(argv[3]) : 0.0f;
+  float t = argc > 4 ? atof(argv[4]) : 0.0f;
+  float cc = argc > 5 ? atof(argv[5]) : 0.0f;
+  float ccr = argc > 6 ? atof(argv[6]) : 0.0f;
+  bool thin = argc > 7 && atoi(argv[7]) != 0;
+  float ior = argc > 8 ? atof(argv[8]) : 1.5f;
+  float aniso = argc > 9 ? atof(argv[9]) : 0.0f;
+  float arot = argc > 10 ? atof(argv[10]) : 0.0f;
+
+  ParametricBSDF bsdf(
+      float3(0.8f, 0.6f, 0.4f), nullptr, nullptr, nullptr, nullptr, nullptr,
+      nullptr, m, r, t, ior, aniso, arot, cc, ccr, float3(0), 1.0f, thin,
+      float3(1), 0.0f);
+  const float3 n(0, 0, 1), tg(1, 0, 0);
+  const float2 uv(0, 0);
+  XorShift rng(11);
+  for (int i = 0; i < 512; i++) {
+    float tho = (0.05f + 0.85f * rng.uniform()) * float(M_PI);
+    float pho = 2.0f * float(M_PI) * rng.uniform();
+    float3 wo(std::sin(tho) * std::cos(pho), std::sin(tho) * std::sin(pho),
+              std::cos(tho));
+    float2 u(rng.uniform(), rng.uniform());
+    float uc = rng.uniform(), uc2 = rng.uniform();
+    auto s = bsdf.sample(wo, n, tg, uv, u, uc, uc2, false);
+    printf("%.9g %.9g %.9g %.9g %.9g %.9g %.9g %d "
+           "%.9g %.9g %.9g %.9g %.9g %.9g %.9g\n",
+           wo.x(), wo.y(), wo.z(), u.x(), u.y(), uc, uc2, int(s.scatter),
+           s.wi.x(), s.wi.y(), s.wi.z(), s.f.x(), s.f.y(), s.f.z(), s.pdf);
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "probe") return probeMain(argc, argv);
+  if (argc > 1 && std::string(argv[1]) == "probesample")
+    return probeSampleMain(argc, argv);
   // argv: [mis|naive] [spp] [roughness] [metallic] [cornell|furnace]
-  //       [dump_path] [res]
+  //       [dump_path] [res] [transmission] [clearcoat] [ccRoughness]
+  //       [thin 0|1] [ior] [anisotropic] [anisoRotation(rad)]
   // or:   bench [n_rays] [coherent 0|1] [threads]
   if (argc > 1 && std::string(argv[1]) == "bench") {
     uint32_t n = argc > 2 ? atoi(argv[2]) : 262144;
@@ -266,8 +434,20 @@ int main(int argc, char** argv) {
   float metallic = argc > 4 ? atof(argv[4]) : 0.0f;
   std::string dump = argc > 6 ? argv[6] : "";
   uint32_t res = argc > 7 ? atoi(argv[7]) : 16;
+  // Extra lobe parameters (parity for dielectric / clearcoat / thin —
+  // the reference's flagship McLaren config exercises exactly these,
+  // src/main.cpp:79-104).
+  float transmission = argc > 8 ? atof(argv[8]) : 0.0f;
+  float clearcoat = argc > 9 ? atof(argv[9]) : 0.0f;
+  float ccRoughness = argc > 10 ? atof(argv[10]) : 0.0f;
+  bool thin = argc > 11 && atoi(argv[11]) != 0;
+  float ior = argc > 12 ? atof(argv[12]) : 1.5f;
+  float aniso = argc > 13 ? atof(argv[13]) : 0.0f;
+  float anisoRot = argc > 14 ? atof(argv[14]) : 0.0f;  // radians
   if (argc > 5 && std::string(argv[5]) == "cornell")
-    return cornellMain(useMis, spp, res, dump);
+    return cornellMain(useMis, spp, res, dump, false);
+  if (argc > 5 && std::string(argv[5]) == "cornell-mat")
+    return cornellMain(useMis, spp, res, dump, true);
 
   (void)res;
   uint32_t nt = 32, np = 64;
@@ -294,8 +474,9 @@ int main(int argc, char** argv) {
   Scene scene((Node()));
   scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
       math::float3(1, 1, 1), nullptr, nullptr, nullptr, nullptr, nullptr,
-      nullptr, metallic, roughness, 0.0f, 1.5f, 0.0f, 0.0f,
-      0.0f, 0.0f, math::float3(0), 1.0f, false, math::float3(1), 0.0f)));
+      nullptr, metallic, roughness, transmission, ior, aniso, anisoRot,
+      clearcoat, ccRoughness, math::float3(0), 1.0f, thin,
+      math::float3(1), 0.0f)));
   scene.addMesh(std::make_unique<Mesh>(verts, vdata, faces));
   scene.root().appendChild(Node(&scene.mesh(0)));
 

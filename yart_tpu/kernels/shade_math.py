@@ -804,11 +804,13 @@ def _f_dielectric_c(inp, cand, fet, ax, ay, wo, wi):
 
     f_refl = fss * d_g / jnp.maximum(jnp.abs(4 * cos_o * cos_i), 1e-12)
 
+    # SIGNED cos_o denominator — reference quirk, see render/bsdf.py
+    # _f_dielectric thin branch (parametric.cpp:399-402).
     wip = (wi[0], wi[1], -wi[2])
     wm_thin, ok_thin = _outward(vadd(wip, wo))
     cos_ip = jnp.abs(wip[2])
-    tss_thin = ggx_mdf(ax, ay, wm_thin) * ggx_g(ax, ay, wo, wip) / jnp.maximum(
-        4 * jnp.abs(cos_o) * cos_ip, 1e-12
+    tss_thin = ggx_mdf(ax, ay, wm_thin) * ggx_g(ax, ay, wo, wip) * _safe_div(
+        1.0, 4 * cos_o * cos_ip, eps=1e-12
     )
 
     temp = vdot(wi, wm) * ior + vdot(wo, wm)
@@ -980,10 +982,12 @@ def bsdf_f_c(inp, cand, fet, gates):
 
 
 def bsdf_pdf_c(inp, cand, fet, gates):
-    """Full layered pdf at (wo_r, wi_l_r) — render/bsdf.py bsdf_pdf."""
+    """Full layered pdf — render/bsdf.py bsdf_pdf. UNROTATED directions:
+    the reference's pdfImpl skips the anisotropy rotation (its quirk;
+    see bsdf.py bsdf_pdf)."""
     use_metal, use_diel, use_coat, use_aniso = gates
     ax, ay = _raw_alphas(inp, use_aniso)
-    wo, wi = cand["wo_r"], cand["wi_l_r"]
+    wo, wi = cand["wo"], cand["wi_l"]
 
     metallic = inp["metallic"]
     trans = inp["transmission"]

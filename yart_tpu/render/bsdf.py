@@ -264,12 +264,17 @@ def _f_dielectric(tables, mat, a, wo, wi):
     # reflection branch
     f_refl = fss * d_g / jnp.maximum(jnp.abs(4 * cos_o * cos_i), 1e-12)
 
-    # thin transmission branch: flip wi and evaluate as reflection
+    # thin transmission branch: flip wi and evaluate as reflection.
+    # NOTE the reference divides by the SIGNED cos_o here
+    # (parametric.cpp:399-402: 4 * cosTheta_o * cosTheta_ip with
+    # cosTheta_o = wo.z()), so backside evaluations yield NEGATIVE f —
+    # quirky ("TODO: check this is correct" upstream) but parity-load-
+    # bearing: the thin-glass oracle image diverges 26% without it.
     wip = jnp.stack([wi[..., 0], wi[..., 1], -wi[..., 2]], axis=-1)
     wm_thin, ok_thin = _outward(wip + wo)
     cos_ip = jnp.abs(wip[..., 2])
-    tss_thin = ggx.mdf(a, wm_thin) * ggx.g(a, wo, wip) / jnp.maximum(
-        4 * jnp.abs(cos_o) * cos_ip, 1e-12
+    tss_thin = ggx.mdf(a, wm_thin) * ggx.g(a, wo, wip) * _safe_div(
+        1.0, 4 * cos_o * cos_ip, eps=1e-12
     )
 
     # full refraction branch
@@ -451,11 +456,17 @@ def bsdf_f(tables, mat: LaneMaterial, wo, wi, meta=None):
 
 
 def bsdf_pdf(tables, mat: LaneMaterial, wo, wi, meta=None):
-    """Full layered pdf (parametric.cpp:135-177)."""
+    """Full layered pdf (parametric.cpp:135-177).
+
+    NOTE: unlike fImpl/sampleImpl, the reference's pdfImpl does NOT apply
+    the anisotropy rotation to wo/wi (parametric.cpp:135-177 has no
+    m_localRotation line) — invisible for isotropic lobes, but at
+    anisotropic+rotated materials the NEE/MIS pdf diverges up to ~40x if
+    rotated here (found by the per-lobe oracle probe). Reproduced as-is."""
     use_metal, use_diel, use_coat, use_aniso = _lobe_flags(meta)
     a = ggx.make_alphas(mat.roughness, mat.anisotropic if use_aniso else 0.0)
-    wo_r = _rot_z(wo, -mat.aniso_rotation) if use_aniso else wo
-    wi_r = _rot_z(wi, -mat.aniso_rotation) if use_aniso else wi
+    wo_r = wo
+    wi_r = wi
 
     p_metal = mat.metallic
     p_diel = (1.0 - mat.metallic) * mat.transmission

@@ -143,9 +143,14 @@ def uv_sphere(center, radius, n_theta: int = 24, n_phi: int = 48):
 
 
 def furnace(albedo=(1.0, 1.0, 1.0), env_value: float = 0.5, roughness: float = 1.0,
-            metallic: float = 0.0, transmission: float = 0.0, ior: float = 1.5):
+            metallic: float = 0.0, transmission: float = 0.0, ior: float = 1.5,
+            clearcoat: float = 0.0, cc_roughness: float = 0.0,
+            thin: bool = False, anisotropic: float = 0.0,
+            aniso_rotation: float = 0.0):
     """Furnace test: a sphere inside a uniform environment — a white BSDF must
-    vanish against the background (src/main.cpp furnace fixture)."""
+    vanish against the background (src/main.cpp furnace fixture). The lobe
+    kwargs mirror the oracle harness's ParametricBSDF arguments
+    (tools/oracle/furnace_oracle.cpp) for per-lobe image parity."""
     b = SceneBuilder()
     m = b.add_material(
         base_color=(*albedo, 1.0),
@@ -153,7 +158,11 @@ def furnace(albedo=(1.0, 1.0, 1.0), env_value: float = 0.5, roughness: float = 1
         metallic=metallic,
         transmission=transmission,
         ior=ior,
-        thin=False,
+        clearcoat=clearcoat,
+        cc_roughness=cc_roughness,
+        thin=thin,
+        anisotropic=anisotropic,
+        aniso_rotation=aniso_rotation,
     )
     verts, normals, idx = uv_sphere((0.0, 0.0, 0.0), 1.0, 32, 64)
     b.add_mesh(verts, idx, m, normals=normals)

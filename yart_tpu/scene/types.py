@@ -41,7 +41,7 @@ class MaterialTable(NamedTuple):
     transmission: jnp.ndarray  # [M]
     ior: jnp.ndarray  # [M]
     anisotropic: jnp.ndarray  # [M]
-    aniso_rotation: jnp.ndarray  # [M] revolutions
+    aniso_rotation: jnp.ndarray  # [M] radians (KHR_materials_anisotropy)
     clearcoat: jnp.ndarray  # [M]
     cc_roughness: jnp.ndarray  # [M]
     emission: jnp.ndarray  # [M, 3] (already scaled by emission strength)
