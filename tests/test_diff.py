@@ -255,3 +255,31 @@ def test_material_grads_api(setup):
     assert np.isfinite(g_base).all()
     # Wall albedo must matter; metallic of pure-diffuse walls shouldn't be NaN.
     assert np.abs(g_base).sum() > 0.0
+
+
+def test_geometry_grads_glass_scene_finite():
+    """Geometry gradients through specular glass + metal (cornell-mat):
+    reverse mode must stay finite through refract/TIR, _safe_div and the
+    GGX phi-term divisions (each was a 0-cotangent * inf NaN source)."""
+    from yart_tpu.render.diff import geometry_grads
+
+    scene, meta = cornell_box(extra_materials=True).compile()
+    size = (8, 8)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=28.0,
+                     position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    )
+    cfg = RenderConfig(samples=2, max_depth=4, rr_start_depth=99)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), 2), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), 2), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(2), 64), jnp.uint32)
+
+    val, g = geometry_grads(
+        scene, meta, cam, sampler, cfg, px, py, sidx,
+        loss_fn=lambda img: jnp.mean(img),
+    )
+    g = np.asarray(g)
+    assert np.isfinite(float(val))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0.0

@@ -206,10 +206,11 @@ def ggx_smooth(ax, ay):
 def _phi_terms(w):
     cos2t = w[2] * w[2]
     sin2t = jnp.maximum(0.0, 1.0 - cos2t)
-    safe = jnp.maximum(sin2t, 1e-20)
+    # ops/ggx.py _phi_terms: divisor masked below 1e-20 (reverse-mode inf).
+    safe = jnp.where(sin2t > 1e-20, sin2t, 1.0)
     z = sin2t == 0.0
-    cos2p = jnp.where(z, 1.0, w[0] * w[0] / jnp.where(z, 1.0, safe))
-    sin2p = jnp.where(z, 0.0, w[1] * w[1] / jnp.where(z, 1.0, safe))
+    cos2p = jnp.where(z, 1.0, w[0] * w[0] / safe)
+    sin2p = jnp.where(z, 0.0, w[1] * w[1] / safe)
     return cos2t, sin2t, cos2p, sin2p
 
 
@@ -344,7 +345,14 @@ def _outward(wm):
 
 
 def _safe_div(a, b, eps=1e-20):
-    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+    """render/bsdf.py _safe_div: clamped branch stop-gradiented so reverse
+    mode stays finite (0-cotangent * overflowing -a/b^2 = NaN)."""
+    import jax
+
+    small = jnp.abs(b) < eps
+    bb = jnp.where(small, jnp.where(b < 0, -eps, eps), b)
+    bb = jnp.where(small, jax.lax.stop_gradient(bb), bb)
+    return a / bb
 
 
 def _favg_fit(ior):

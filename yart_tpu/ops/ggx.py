@@ -57,7 +57,11 @@ def _phi_terms(w):
     degenerate-sin2Theta conventions (bsdf.hpp:205-209,284-287)."""
     cos2t = w[..., 2] * w[..., 2]
     sin2t = jnp.maximum(0.0, 1.0 - cos2t)
-    safe = jnp.maximum(sin2t, 1e-20)
+    # Divisor masked to 1 below 1e-20: 1/safe^2 in the division's backward
+    # is 1e40 = inf (the double-where rule; unnormalized refracted dirs can
+    # land cos2t >~ 1 with non-tiny w.xy). Values in that band are ~0
+    # either way (k and alpha2 multiply by tan2t <= 1e-20).
+    safe = jnp.where(sin2t > 1e-20, sin2t, 1.0)
     cos2p = jnp.where(sin2t == 0.0, 1.0, w[..., 0] * w[..., 0] / safe)
     sin2p = jnp.where(sin2t == 0.0, 0.0, w[..., 1] * w[..., 1] / safe)
     return cos2t, sin2t, cos2p, sin2p

@@ -211,7 +211,15 @@ def _outward(wm):
 
 
 def _safe_div(a, b, eps=1e-20):
-    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+    """a / b with |b| clamped away from 0. The clamped branch is
+    stop-gradiented (same forward value): d(a/b)/db = -a/b^2 overflows f32
+    at b = eps and 0-cotangent * inf = NaN in reverse mode."""
+    import jax
+
+    small = jnp.abs(b) < eps
+    bb = jnp.where(small, jnp.where(b < 0, -eps, eps), b)
+    bb = jnp.where(small, jax.lax.stop_gradient(bb), bb)
+    return a / bb
 
 
 # ---------------------------------------------------------------------------
