@@ -69,6 +69,10 @@ def _build_glb(tmp_path, with_texture=False):
                         "attenuationColor": [0.9, 0.8, 0.7],
                         "attenuationDistance": 2.0,
                     },
+                    "KHR_materials_anisotropy": {
+                        "anisotropyStrength": 0.6,
+                        "anisotropyRotation": 0.9,
+                    },
                 },
             }
         ],
@@ -134,6 +138,9 @@ def test_glb_load(tmp_path):
         np.asarray(m.volume_color[0]), [0.9, 0.8, 0.7], atol=1e-6
     )
     np.testing.assert_allclose(float(m.volume_density[0]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(m.anisotropic[0]), 0.6, atol=1e-6)
+    # radians, passed through unconverted (gltf.cpp:108-113)
+    np.testing.assert_allclose(float(m.aniso_rotation[0]), 0.9, atol=1e-6)
     assert bool(m.thin[0])  # gltf.cpp:104-105 hardcodes thin
 
     # Light power: area of 2x2 quad = 4, split into 2 tris of 2 each;
