@@ -327,3 +327,35 @@ def test_bsdf_sample_probe_parity(oracle, name):
             f"{name}: {int((rel > 0.06).sum())} lanes over 6% {what} delta"
         )
         assert rel.max() < 0.6, f"{name}: sample {what} max rel {rel.max():.4f}"
+
+
+def test_sampler_stream_bit_parity(oracle):
+    """Our counter-based ZSobol reproduces the reference's sequential
+    SobolSampler<FastOwenScrambler> BIT-EXACTLY per (pixel, sample, dim) —
+    the k-th sequential get1D uses dim k-1 pre-increment (sampler.hpp:
+    89-106), so matched seeds give matched streams (SURVEY.md hard part 3).
+    This pins the base-4 permutations, mixBits, the generated dim-1 Sobol
+    matrix, FastOwen scrambling AND the float conversion (float(v)*2^-32
+    rounds to nearest; a top-24-bit truncation is one 2^-24 off on half
+    of all draws)."""
+    if "probe_draws" not in oracle.files:
+        pytest.skip("probe_draws not in oracle goldens")
+    from yart_tpu.ops.qmc import ZSobolSampler
+
+    rows = np.asarray(oracle["probe_draws"], np.float64)
+    px = jnp.asarray(rows[:, 0], jnp.uint32)
+    py = jnp.asarray(rows[:, 1], jnp.uint32)
+    s = jnp.asarray(rows[:, 2], jnp.uint32)
+    zs = ZSobolSampler(8, (512, 512), seed=0)
+    st = zs.init_lanes(px, py, s)
+    for d in range(16):
+        np.testing.assert_array_equal(
+            np.asarray(zs.get1d(st, jnp.uint32(d))),
+            rows[:, 3 + d].astype(np.float32), err_msg=f"get1d dim {d}",
+        )
+    for k in range(8):
+        got = np.asarray(zs.get2d(st, jnp.uint32(2 * k)))
+        np.testing.assert_array_equal(
+            got, rows[:, 19 + 2 * k: 21 + 2 * k].astype(np.float32),
+            err_msg=f"get2d dim {2 * k}",
+        )

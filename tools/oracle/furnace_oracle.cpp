@@ -414,8 +414,37 @@ static int probeSampleMain(int argc, char** argv) {
   return 0;
 }
 
+// probedraws mode: the reference ZSobol sampler's raw draw stream.
+// argv: probedraws [spp] [res]. For a grid of (pixel, sample): 16 get1D
+// values (dims 0..15) then 8 get2D pairs (dims 0,2,..,14), one line per
+// (pixel, sample): px py s v0..v15 u0x u0y ... u7x u7y
+static int probeDrawsMain(int argc, char** argv) {
+  using namespace math;
+  uint32_t spp = argc > 2 ? atoi(argv[2]) : 8;
+  uint32_t res = argc > 3 ? atoi(argv[3]) : 512;
+  SobolSampler<FastOwenScrambler> sampler(spp, uint2(res, res));
+  XorShift rng(3);
+  for (int i = 0; i < 256; i++) {
+    uint32_t px = uint32_t(rng.uniform() * res) % res;
+    uint32_t py = uint32_t(rng.uniform() * res) % res;
+    uint32_t s = uint32_t(rng.uniform() * spp) % spp;
+    printf("%u %u %u", px, py, s);
+    sampler.startPixelSample(uint2(px, py), s);
+    for (int d = 0; d < 16; d++) printf(" %.9g", sampler.get1D());
+    sampler.startPixelSample(uint2(px, py), s);
+    for (int d = 0; d < 8; d++) {
+      float2 u = sampler.get2D();
+      printf(" %.9g %.9g", u.x(), u.y());
+    }
+    printf("\n");
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc > 1 && std::string(argv[1]) == "probe") return probeMain(argc, argv);
+  if (argc > 1 && std::string(argv[1]) == "probedraws")
+    return probeDrawsMain(argc, argv);
   if (argc > 1 && std::string(argv[1]) == "probesample")
     return probeSampleMain(argc, argv);
   // argv: [mis|naive] [spp] [roughness] [metallic] [cornell|furnace]

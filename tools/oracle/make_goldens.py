@@ -58,6 +58,14 @@ def main():
                         "0.6", "1.1"],
         "probe_thin": ["0.2", "0", "1", "0", "0", "1", "1.5", "0", "0"],
     }
+    # Raw sampler draw stream (bit-level: our ZSobol must reproduce the
+    # reference's SobolSampler<FastOwenScrambler> EXACTLY).
+    res = subprocess.run([oracle, "probedraws", "8", "512"], check=True,
+                         capture_output=True)
+    out["probe_draws"] = np.loadtxt(res.stdout.decode().splitlines(),
+                                    dtype=np.float32)
+    print(f"  probe_draws: {out['probe_draws'].shape}", flush=True)
+
     for name, args in probes.items():
         for mode, key in (("probe", name), ("probesample", name + "_smp")):
             res = subprocess.run([oracle, mode] + args, check=True,
