@@ -319,7 +319,35 @@ def bench_shade_kernel(results):
     results["atrium_wave_shade_pallas"] = total / (time.time() - t0) / 1e6
 
 
+def _tpu_tunnel_alive() -> bool:
+    """The axon backend dials a local stdio relay; when the relay is gone
+    the FIRST jax backend init hangs forever (memory: tpu-env-quirks). A
+    2-second socket probe is the only safe liveness check."""
+    import socket
+
+    s = socket.socket()
+    s.settimeout(2.0)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "axon" and not _tpu_tunnel_alive():
+        # Fail FAST and honestly instead of hanging the driver's timeout:
+        # no hardware means no measurement, not a fabricated number.
+        msg = "TPU tunnel down (127.0.0.1:8082 refused); cannot measure"
+        json.dump({"metrics": {}, "errors": {"tunnel": msg}},
+                  open(DETAIL, "w"), indent=1)
+        print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                          "unit": "Mrays/s", "vs_baseline": 0.0,
+                          "errors": {"tunnel": msg}}))
+        return
+
     from yart_tpu.cache import enable_compile_cache
 
     enable_compile_cache()

@@ -55,6 +55,18 @@ def test_closest_hit_vs_brute(scene_rays, fused):
     _check_match(hb, hr)
 
 
+@pytest.mark.parametrize("block,kbatch", [(256, 1), (128, 3)])
+def test_shape_knobs_vs_brute(scene_rays, block, kbatch):
+    """The ablation knobs (tools/ablate_shape.py: block size, t-loop key
+    batch) are pure scheduling — any combination returns the same hits."""
+    scene, meta, o, d = scene_rays
+    hb = intersect_blocktrace(
+        scene, meta, o, d, 100.0, block=block, kbatch=kbatch, interpret=True
+    )
+    hr = intersect_brute(scene, meta, o, d, 100.0)
+    _check_match(hb, hr)
+
+
 def test_window_overflow_small_k(scene_rays):
     """k=2 forces many continuation-window rounds; results are identical."""
     scene, meta, o, d = scene_rays

@@ -33,3 +33,7 @@ timeout 7200 python -u -m yart_tpu.cli atrium-inst -o /tmp/atrium_inst.png \
 
 # 5. Shade-path wave profile (fusion table; feeds the next optimization).
 timeout 7200 python -u tools/profile_wave.py cornell-mat 2>&1 | tee -a $LOG
+
+# 6. Traversal shape ablation (cluster_size x block x kbatch) — winner goes
+#    into YART_TRACE_BLOCK/YART_TRACE_KBATCH defaults + builder cluster_size.
+timeout 14400 python -u tools/ablate_shape.py 2>&1 | tee -a $LOG

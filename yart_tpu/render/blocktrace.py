@@ -27,6 +27,8 @@ order-free; results match intersect_bvh8 exactly.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -45,6 +47,12 @@ _BIG = jnp.float32(3.0e38)
 _WKEY0 = -(1 << 31)  # initial window: everything eligible
 
 MAX_CLUSTERS = 1 << ID_BITS  # bigger scenes use render/bintrace.py
+
+# Chip-ablation knobs (tools/ablate_shape.py sweeps them in subprocesses):
+# env-overridable defaults, read once at import, so a (block, kbatch) sweep
+# needs no code edits and production callers pick up tuned values.
+TRACE_BLOCK = int(os.environ.get("YART_TRACE_BLOCK", "128"))
+TRACE_KBATCH = int(os.environ.get("YART_TRACE_KBATCH", "8"))
 
 
 def _n_clus(meta) -> int:
@@ -139,10 +147,11 @@ def intersect_blocktrace(
     t_min: float = 1e-3,
     nee: bool = False,
     floor=None,
-    block: int = 128,
+    block: int = None,
     k: int = 24,
     max_rounds: int = 64,
     fused: bool = True,
+    kbatch: int = None,
     interpret: bool = False,
 ):
     """Closest-hit (or NEE early-out) through the block-trace pipeline.
@@ -157,6 +166,10 @@ def intersect_blocktrace(
     assert fused or not meta.n_instances, (
         "the round-based select/test pipeline has no instanced support"
     )
+    if block is None:
+        block = TRACE_BLOCK
+    if kbatch is None:
+        kbatch = TRACE_KBATCH
     n = o.shape[0]
     c = meta.cluster_size
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -209,7 +222,8 @@ def intersect_blocktrace(
             )
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
-            nee=nee, blive=blive, interpret=interpret, **inst_kw,
+            nee=nee, kbatch=kbatch, blive=blive, interpret=interpret,
+            **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
@@ -374,10 +388,11 @@ def intersect_blocktrace_gated(
     nee: bool = False,
     alpha_seed=None,
     atten=None,
-    block: int = 128,
+    block: int = None,
     k: int = 24,
     max_casts: int = 32,
     fused: bool = True,
+    kbatch: int = None,
     interpret: bool = False,
 ):
     """Block-trace with per-hit gates: stochastic alpha and (for NEE)
@@ -413,7 +428,8 @@ def intersect_blocktrace_gated(
         tm = jnp.where(act, t_max_v, -1.0)
         h = intersect_blocktrace(
             scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
-            block=block, k=k, fused=fused, interpret=interpret,
+            block=block, k=k, fused=fused, kbatch=kbatch,
+            interpret=interpret,
         )
         hit = h.mask & act
         alpha_ok, transparent, factor = _hit_gates(
