@@ -36,11 +36,15 @@ BASELINE_LOCAL = os.path.join(ROOT, "BASELINE_LOCAL.json")
 DETAIL = os.path.join(ROOT, "BENCH_DETAIL.json")
 # Round-1 measurements (BASELINE.md) seed the trend baseline.
 R1_SEED = {"bigscene_closest_hit": 0.51, "cornell_mis": 13.44}
-# The reference's own closest-hit throughput on THIS machine (4-core Xeon
-# 2.1 GHz), measured with `tools/oracle/build.sh` + `oracle bench` on the
-# identical 132k-tri sphere-field workload (all hardware_concurrency
-# threads — the reference's production parallelism, tile-renderer.hpp:37).
-REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39}
+# The reference's own throughput on THIS machine (4-core Xeon 2.1 GHz),
+# measured with `tools/oracle/build.sh` + `oracle bench` (132k-tri
+# sphere-field closest hit) and `oracle benchmis 8 256 4` (full cornell MIS
+# render, dynamic row-band queue) on identical workloads, all
+# hardware_concurrency threads — the reference's production parallelism
+# (tile-renderer.hpp:37). benchmis uses the oracle's Mean-estimator patch,
+# which if anything flatters the reference (GMoN sorts buckets per pixel).
+REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39,
+             "cornell_mis": 4.08}
 
 
 def bench_bigscene(results):

@@ -4,10 +4,13 @@
 #include <bsdf/parametric.hpp>
 #include <cpu/mis-integrator.hpp>
 #include <cpu/naive-integrator.hpp>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <iostream>
 #include <memory>
 #include <string>
+#include <thread>
 #include <vector>
 
 using namespace yart;
@@ -97,7 +100,8 @@ static const float kShortBox[24][3] = {
 };
 
 static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
-                       const std::string& dump, bool extraBoxes) {
+                       const std::string& dump, bool extraBoxes,
+                       uint32_t benchThreads = 0) {
   using namespace math;
   std::vector<float3> verts;
   std::vector<VertexData> vdata;
@@ -167,6 +171,62 @@ static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
   }
   scene.root().appendChild(std::move(meshNode));
 
+  if (benchThreads > 0) {
+    // benchmis mode: full-image MIS render throughput (the reference's
+    // production configuration, src/main.cpp:93-104) with the same
+    // thread-per-slice parallelism TileRenderer uses
+    // (src/cpu/tile-renderer.hpp:37,150-197) — a same-machine hardware
+    // baseline for BENCH_DETAIL.json's cornell_mis metric.
+    for (uint32_t pass = 0; pass < 2; pass++) {
+      uint32_t threads = pass == 0 ? 1 : benchThreads;
+      std::vector<std::thread> pool;
+      std::atomic<uint64_t> rays{0};
+      // Dynamic row-band queue, like the reference's own mutex-guarded
+      // next-tile index (tile-renderer.hpp:163-167) — static slices
+      // underfill threads on this scene's uneven row costs.
+      std::atomic<uint32_t> nextBand{0};
+      const uint32_t bandRows = 16;
+      auto tb = std::chrono::steady_clock::now();
+      for (uint32_t t = 0; t < threads; t++) {
+        pool.emplace_back([&] {
+          Buffer buf(res, res);
+          Camera cam(math::uint2(res, res), 28.0f, 0.0f,
+                     math::float2(36, 24), math::float3(0, 1.0f, 3.4f),
+                     math::float3(0, 0, -1.0f));
+          SobolSampler<FastOwenScrambler> smp(spp, math::uint2(res, res));
+          std::unique_ptr<cpu::Integrator> ii;
+          if (useMis)
+            ii = std::make_unique<cpu::MISIntegrator>(buf, cam, smp);
+          else
+            ii = std::make_unique<cpu::NaiveIntegrator>(buf, cam, smp);
+          ii->scene = &scene;
+          ii->samples = spp;
+          uint64_t r = 0;
+          for (;;) {
+            uint32_t lo = nextBand.fetch_add(bandRows);
+            if (lo >= res) break;
+            uint32_t hi = std::min(lo + bandRows, res);
+            // Full-size per-thread buffer, absolute row band: bounds index
+            // the target directly, so no extra pixel offset.
+            ii->samplingBounds = ubounds2({0, lo}, {res, hi});
+            ii->samplingOffset = math::uint2(0, 0);
+            ii->render();
+            r += ii->rayCount();
+          }
+          rays += r;
+        });
+      }
+      for (auto& th : pool) th.join();
+      auto te = std::chrono::steady_clock::now();
+      double dt = std::chrono::duration<double>(te - tb).count();
+      std::cout << "benchmis " << (useMis ? "mis" : "naive")
+                << " threads=" << threads << ": " << rays.load() / dt / 1e6
+                << " Mrays/s (" << rays.load() << " rays, " << dt << " s)"
+                << std::endl;
+    }
+    return 0;
+  }
+
   Buffer buffer(res, res);
   Camera camera(uint2(res, res), 28.0f, 0.0f, float2(36, 24),
                 float3(0, 1.0f, 3.4f), float3(0, 0, -1.0f));
@@ -207,7 +267,6 @@ static int cornellMain(bool useMis, uint32_t spp, uint32_t res,
 // hardware baseline for BENCH_DETAIL.json's bigscene metrics. Statistically
 // identical geometry/ray distributions (exact RNG parity is irrelevant for
 // throughput).
-#include <atomic>
 
 namespace {
 
@@ -456,6 +515,14 @@ int main(int argc, char** argv) {
     bool coh = argc > 3 && atoi(argv[3]) != 0;
     uint32_t th = argc > 4 ? atoi(argv[4]) : std::thread::hardware_concurrency();
     return benchMain(n, coh, th);
+  }
+  // or:   benchmis [spp] [res] [threads] — full cornell MIS render
+  //       throughput (matches bench.py's cornell_mis workload).
+  if (argc > 1 && std::string(argv[1]) == "benchmis") {
+    uint32_t spp = argc > 2 ? atoi(argv[2]) : 8;
+    uint32_t res = argc > 3 ? atoi(argv[3]) : 256;
+    uint32_t th = argc > 4 ? atoi(argv[4]) : std::thread::hardware_concurrency();
+    return cornellMain(true, spp, res, "", false, th);
   }
   bool useMis = argc > 1 && std::string(argv[1]) == "mis";
   uint32_t spp = argc > 2 ? atoi(argv[2]) : 64;
