@@ -589,11 +589,10 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     """rays [Np, 8] f32 (o3, d3, t_cur, floor), Np a multiple of `block`;
     clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
     id bitcast into row 4 lane 0 (scene/clusters.py woop_rows); blive
-    [Np // block] i32: 0 = block provably enters nothing (skipped whole),
-    1 = "light" (every ray entered <= N_SLOTS clusters — the slots phase
-    alone is exact), 2 = heavy (slots phase + warm-started wide sweep);
-    slots [Np, N_SLOTS] i32 presort slot keys (required for blive == 1
-    blocks; without it every live block must be flagged 2).
+    [Np // block] i32: 0 = block provably enters nothing (skipped whole,
+    including the box sweep), nonzero = live (full sweep + t-loop; a
+    per-ray candidate-slots fast path was tried and measured net-negative
+    — BASELINE.md traversal history).
     Returns out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it,
     win, pad; lanes with no hit keep t == t_cur, tri == -1."""
     n = rays.shape[0]

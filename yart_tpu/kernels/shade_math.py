@@ -563,7 +563,9 @@ def _sample_dielectric_c(inp, cand, fet):
     wi_s_refl = vmirror(wo)
     wi_s_refr, tir_s = refract(wo, (zero, zero, one), ior)
     wi_s_refr = vwhere(thin, vneg(wo), wi_s_refr)
-    tir_s = jnp.where(thin, False, tir_s)
+    # Boolean algebra instead of where(mask, False, b): Mosaic cannot
+    # truncate the scalar literal to i1.
+    tir_s = tir_s & jnp.logical_not(thin)
     wi_s = vwhere(refl_s, wi_s_refl, wi_s_refr)
     t_spec = 1.0 - f_spec
     f_s = vwhere(
@@ -1201,7 +1203,11 @@ def finish(inp, cand, fet, gates, mis=True, any_lights=True):
         d=vwhere(active, wi_world, d),
         atten=atten_out,
         active=active,
-        specular=jnp.where(active, specular, inp["specular_prev"]),
+        # Boolean algebra instead of where(): Mosaic cannot lower an
+        # i1-result select_n (nor the f32->i1 truncation a mixed-dtype
+        # where would insert).
+        specular=(active & specular)
+        | (~active & (inp["specular_prev"] != 0.0)),
         acc_rough=acc_rough,
         last_pdf=jnp.where(active, smp["pdf"], inp["last_pdf"]),
         last_p=vwhere(active, p, inp["last_p"]),

@@ -81,7 +81,17 @@ def u32_to_unit_float(v):
     nearest, exactly like the reference's C cast — a top-24-bit TRUNCATION
     differs by one 2^-24 ulp on ~half of all draws (found by the
     `oracle probedraws` bit-level stream comparison)."""
-    f = v.astype(jnp.float32) * np.float32(2.0 ** -32)
+    # Split conversion instead of a direct u32->f32 cast: Mosaic (the
+    # Pallas TPU compiler) cannot lower "uint32 -> float32", and this form
+    # is BIT-IDENTICAL to the native cast — both 16-bit halves convert
+    # exactly, the *65536 is a mantissa shift, and the single add performs
+    # the one correct rounding the direct cast would.
+    hi = jnp.right_shift(v, jnp.uint32(16)).astype(jnp.int32)
+    lo = (v & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    f32v = hi.astype(jnp.float32) * np.float32(65536.0) + lo.astype(
+        jnp.float32
+    )
+    f = f32v * np.float32(2.0 ** -32)
     return jnp.minimum(f, ONE_MINUS_EPS)
 
 
