@@ -101,6 +101,42 @@ def main(lanes: int = 262144):
 
         order = jax.jit(lambda k: jnp.argsort(k))(keys)
 
+        # inverse permutation: second argsort vs elementwise scatter
+        def mk_inv_sort(k):
+            return chain(
+                lambda o: jnp.argsort(o.astype(jnp.int32)).astype(
+                    jnp.float32),
+                k,
+            )
+        measure(f"{tag} inv argsort", mk_inv_sort, order.astype(jnp.float32))
+
+        n_ = order.shape[0]
+
+        def mk_inv_scatter(k):
+            iota = jnp.arange(n_, dtype=jnp.int32)
+
+            @jax.jit
+            def f(o):
+                out = o.astype(jnp.int32)
+                for i in range(k):
+                    out = jnp.zeros((n_,), jnp.int32).at[out].set(iota)
+                return out.astype(jnp.float32)
+            return f
+        measure(f"{tag} inv scatter", mk_inv_scatter, order.astype(jnp.float32))
+
+        # result row scatter [N, 8] (the res[inv] alternative: scatter
+        # sorted-order rows back through `order` instead of gathering
+        # through `inv`)
+        def mk_row_scatter(k):
+            @jax.jit
+            def f(r, idx):
+                out = r
+                for i in range(k):
+                    out = jnp.zeros_like(r).at[idx].set(out)
+                return out
+            return f
+        measure(f"{tag} row scatter", mk_row_scatter, rays, order)
+
         # row gather [N, 8]
         def mk_gather(k):
             @jax.jit
@@ -120,7 +156,7 @@ def main(lanes: int = 262144):
         print(f"  {tag} live blocks: {float(jnp.mean(blive)):.2f}",
               flush=True)
 
-        def mk_fused(k):
+        def mk_fused(k, kb=8):
             @jax.jit
             def f(r, bl):
                 out = None
@@ -128,12 +164,16 @@ def main(lanes: int = 262144):
                     ri = r if out is None else r + out[:, :1] * 1e-30
                     out = fused_trace_pallas(
                         ri, scene.clus_box, scene.clus_pack, block, csize,
-                        1e-3, kbatch=8, blive=bl,
+                        1e-3, kbatch=kb, blive=bl,
                     )
                 return out
             return f
-        measure(f"{tag} fused", mk_fused, rays_s, blive)
+        for kb in (4, 8):
+            measure(f"{tag} fused kb={kb}",
+                    lambda k, kb=kb: mk_fused(k, kb), rays_s, blive)
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    main(int(_sys.argv[1]) if len(_sys.argv) > 1 else 262144)

@@ -135,13 +135,18 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
-         rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-         *scratch) = refs
+         rays_ref, *rest) = refs
         inst = (csrc_ref, cinst_ref, cfid_ref, itf_ref)
     else:
-        (blive_ref, rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-         *scratch) = refs
+        (blive_ref, rays_ref, *rest) = refs
         inst = None
+    # rays_t (the SoA-transposed ray view) is only an input in mxu_test
+    # mode; its (8, block) BlockSpec also needs block >= 128 lanes.
+    if mxu_test:
+        rays_t_ref, boxes_ref, pack_ref, out_ref, *scratch = rest
+    else:
+        boxes_ref, pack_ref, out_ref, *scratch = rest
+        rays_t_ref = None
     block = rays_ref.shape[0]
 
     rays = rays_ref[...]
@@ -601,7 +606,6 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     cpad = clus_box.shape[1]
     if pack_vmem is None:
         pack_vmem = clus_pack.size * 4 <= VMEM_PACK_BYTES
-    rays_t = rays.T  # SoA view for the MXU projections (cheap relayout)
     if blive is None:
         blive = jnp.ones((n_blocks,), jnp.int32)
     instanced = clus_src is not None
@@ -613,8 +617,10 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         in_specs=[
             pl.BlockSpec((block, 8), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
+        ] + ([
             pl.BlockSpec((8, block), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
+        ] if mxu_test else []) + [
             pl.BlockSpec((8, cpad), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -640,7 +646,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             clus_src.astype(jnp.int32), clus_inst.astype(jnp.int32),
             clus_fid.astype(jnp.int32), inst_flat.astype(jnp.float32),
         )
-    out = pl.pallas_call(
+    out_call = pl.pallas_call(
         functools.partial(
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
@@ -655,5 +661,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             vmem_limit_bytes=VMEM_PACK_BYTES + (32 << 20),
         ),
         interpret=interpret,
-    )(*scalars, rays, rays_t, clus_box, clus_pack)
+    )
+    args = (rays, rays.T) if mxu_test else (rays,)
+    out = out_call(*scalars, *args, clus_box, clus_pack)
     return out.reshape(n, 8)
