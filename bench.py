@@ -48,6 +48,15 @@ REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39,
 
 
 def bench_bigscene(results):
+    """Chained in-graph throughput (K traversals inside ONE jit, each
+    data-dependent on the previous so nothing hoists or CSEs, one sync at
+    the end). This is the production shape: render_wave runs traversal
+    inside a single jitted wave, so the ~26 ms per-dispatch axon overhead
+    (and the sync op's own dispatch) is not part of the algorithm; round 2
+    unknowingly benchmarked ~2 dispatches per rep, which capped the
+    reported number at ~3 Mrays/s no matter how fast the kernels were
+    (tools/diag_pipeline.py: device-side pipeline is ~17-20 ms / 262k
+    incoherent rays). Single-call latency is kept as *_1call."""
     import jax
     import jax.numpy as jnp
 
@@ -56,26 +65,38 @@ def bench_bigscene(results):
 
     scene, meta = build_scene(60, 128)
     lanes = 262144
-    fn = jax.jit(
-        lambda s, o, d: intersect_blocktrace(s, meta, o, d, 100.0)
-    )
+    K = 10
+
+    def chained(k):
+        @jax.jit
+        def f(s, o, d):
+            h = None
+            for _ in range(k):
+                oi = o if h is None else o + h.t[:, None] * 1e-30
+                h = intersect_blocktrace(s, meta, oi, d, 100.0)
+            return h
+        return f
+
+    f1, fk = chained(1), chained(K)
     for name, coherent in (("bigscene_closest_hit", False),
                            ("bigscene_coherent", True)):
         o_np, d_np = make_rays(lanes, coherent)
-        # Distinct inputs per rep (identical re-dispatches can be elided).
-        os_ = [jnp.asarray(o_np + np.float32(1e-5 * r)) for r in range(5)]
+        o = jnp.asarray(o_np)
         d = jnp.asarray(d_np)
-        # A small transfer per rep forces completion: on this runtime
+        # A small transfer forces completion: on this runtime
         # block_until_ready() returns before the execution finishes.
         sync = lambda h: float(jnp.sum(h.t[:8]))
-        hit = fn(scene, os_[0], d)
-        sync(hit)
-        reps = 5
+        for f in (f1, fk):
+            sync(f(scene, o, d))
+        reps = 3
         t0 = time.time()
-        for r in range(reps):
-            hit = fn(scene, os_[r], d)
-            sync(hit)
-        results[name] = lanes * reps / (time.time() - t0) / 1e6
+        for _ in range(reps):
+            sync(fk(scene, o, d))
+        results[name] = lanes * K * reps / (time.time() - t0) / 1e6
+        t0 = time.time()
+        for _ in range(reps):
+            sync(f1(scene, o, d))
+        results[name + "_1call"] = lanes * reps / (time.time() - t0) / 1e6
 
 
 def bench_cornell(results):
@@ -111,21 +132,47 @@ def bench_cornell(results):
         for r in range(4)
     ]
 
-    fn = jax.jit(
-        lambda scene, px, py, sidx: render_wave(
-            scene, meta, cam, sampler, cfg, px, py, sidx
-        )
-    )
-    radiance, rays = fn(scene, px, py, sidxs[0])
-    radiance.block_until_ready()
-    t0 = time.time()
+    # Chained waves inside one jit = the production renderer shape (the
+    # wave loop dispatches once per wave; each wave here consumes the
+    # previous wave's ray counter so nothing hoists). See bench_bigscene.
+    KW = 4
+
+    def chained(k):
+        @jax.jit
+        def f(scene, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            rad = None
+            for i in range(k):
+                si = sidx if rad is None else (
+                    sidx + total.astype(jnp.uint32) + jnp.uint32(i)
+                ) % jnp.uint32(spp)
+                rad, rays = render_wave(
+                    scene, meta, cam, sampler, cfg, px, py, si
+                )
+                total = total + rays.astype(jnp.float32)
+            return rad, total
+        return f
+
+    f1, fk = chained(1), chained(KW)
+    sync = lambda rad: float(jnp.sum(rad[:8]))
+    for f in (f1, fk):
+        rad, total = f(scene, px, py, sidxs[0])
+        sync(rad)
     reps = 3
-    total = 0.0
+    t0 = time.time()
+    rays_total = 0.0
     for r in range(reps):
-        radiance, rays = fn(scene, px, py, sidxs[1 + r])
-        radiance.block_until_ready()
-        total += float(rays)
-    results["cornell_mis"] = total / (time.time() - t0) / 1e6
+        rad, total = fk(scene, px, py, sidxs[1 + r])
+        sync(rad)
+        rays_total += float(total)
+    results["cornell_mis"] = rays_total / (time.time() - t0) / 1e6
+    t0 = time.time()
+    rays_total = 0.0
+    for r in range(reps):
+        rad, total = f1(scene, px, py, sidxs[1 + r])
+        sync(rad)
+        rays_total += float(total)
+    results["cornell_mis_1call"] = rays_total / (time.time() - t0) / 1e6
 
     # ---- forward+backward: grad of mean image w.r.t. the material table ----
     import jax.tree_util as jtu
@@ -141,18 +188,31 @@ def bench_cornell(results):
         )
         return jnp.mean(radiance), rays
 
-    gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
-    (val, rays), g = gfn(scene.materials.base_color, scene, px, py, sidxs[0])
-    jtu.tree_map(lambda a: a.block_until_ready(), g)
+    vg = jax.value_and_grad(loss, has_aux=True)
+
+    def chained_g(k):
+        @jax.jit
+        def f(bc, scene, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            g = None
+            for _ in range(k):
+                bci = bc if g is None else bc + g * 1e-30
+                (val, rays), g = vg(bci, scene, px, py, sidx)
+                total = total + rays.astype(jnp.float32)
+            return g, total
+        return f
+
+    g1, gk = chained_g(1), chained_g(3)
+    for f in (g1, gk):
+        g, total = f(scene.materials.base_color, scene, px, py, sidxs[0])
+        float(jnp.sum(g.reshape(-1)[:8]))
     t0 = time.time()
-    total = 0.0
+    rays_total = 0.0
     for r in range(reps):
-        (val, rays), g = gfn(
-            scene.materials.base_color, scene, px, py, sidxs[1 + r]
-        )
-        jtu.tree_map(lambda a: a.block_until_ready(), g)
-        total += float(rays)
-    results["cornell_fwdbwd"] = total / (time.time() - t0) / 1e6
+        g, total = gk(scene.materials.base_color, scene, px, py, sidxs[1 + r])
+        float(jnp.sum(g.reshape(-1)[:8]))
+        rays_total += float(total)
+    results["cornell_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
 
 
 def bench_atrium(results):
@@ -188,18 +248,35 @@ def bench_atrium(results):
         for r in range(4)
     ]
 
-    fn = jax.jit(lambda s, px, py, si: render_wave(
-        s, meta, cam, sampler, cfg, px, py, si))
-    out, rays = fn(scene, px, py, sidxs[0])
-    float(jnp.sum(out[:8]))
+    KW = 3
+
+    def chained(k):
+        @jax.jit
+        def f(s, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            rad = None
+            for i in range(k):
+                si = sidx if rad is None else (
+                    sidx + total.astype(jnp.uint32) + jnp.uint32(i)
+                ) % jnp.uint32(spp)
+                rad, rays = render_wave(s, meta, cam, sampler, cfg,
+                                        px, py, si)
+                total = total + rays.astype(jnp.float32)
+            return rad, total
+        return f
+
+    f1, fk = chained(1), chained(KW)
+    for f in (f1, fk):
+        out, total = f(scene, px, py, sidxs[0])
+        float(jnp.sum(out[:8]))
     reps = 3
     t0 = time.time()
-    total = 0.0
+    rays_total = 0.0
     for r in range(reps):
-        out, rays = fn(scene, px, py, sidxs[1 + r])
+        out, total = fk(scene, px, py, sidxs[1 + r])
         float(jnp.sum(out[:8]))
-        total += float(rays)
-    results["atrium_wave"] = total / (time.time() - t0) / 1e6
+        rays_total += float(total)
+    results["atrium_wave"] = rays_total / (time.time() - t0) / 1e6
 
     # fwd+bwd at a quarter of the lanes: the remat backward of the
     # big-scene wave is the one shape never compiled before a bench run,
@@ -230,20 +307,32 @@ def bench_atrium(results):
         )
         return jnp.mean(radiance), rays
 
-    gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
-    (val, rays), g = gfn(
-        scene.materials.base_color, scene, px_d, py_d, sidxs_d[0]
-    )
-    float(jnp.sum(g[:4]))
+    vg = jax.value_and_grad(loss, has_aux=True)
+
+    def chained_g(k):
+        @jax.jit
+        def f(bc, scene, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            g = None
+            for _ in range(k):
+                bci = bc if g is None else bc + g * 1e-30
+                (val, rays), g = vg(bci, scene, px, py, sidx)
+                total = total + rays.astype(jnp.float32)
+            return g, total
+        return f
+
+    gk = chained_g(3)
+    g, total = gk(scene.materials.base_color, scene, px_d, py_d, sidxs_d[0])
+    float(jnp.sum(g.reshape(-1)[:8]))
     t0 = time.time()
-    total = 0.0
+    rays_total = 0.0
     for r in range(reps):
-        (val, rays), g = gfn(
+        g, total = gk(
             scene.materials.base_color, scene, px_d, py_d, sidxs_d[1 + r]
         )
-        float(jnp.sum(g[:4]))
-        total += float(rays)
-    results["atrium_fwdbwd"] = total / (time.time() - t0) / 1e6
+        float(jnp.sum(g.reshape(-1)[:8]))
+        rays_total += float(total)
+    results["atrium_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
 
 
 def bench_shade_kernel(results):

@@ -27,7 +27,7 @@ def main(lanes: int = 262144):
 
     from tools.perf_trace import build_scene, make_rays
     from yart_tpu.kernels.pallas_fusedtrace import (
-        fused_trace_pallas, presort_keys_pallas,
+        SKEY_NOTHING, fused_trace_pallas, presort_keys_pallas,
     )
 
     block = 128
@@ -46,7 +46,7 @@ def main(lanes: int = 262144):
         ))(rays)[:, 0].astype(jnp.uint32)
         order = jnp.argsort(keys)
         rays_s = rays[order]
-        lane_live = keys[order] < (1 << 25)
+        lane_live = keys[order] < SKEY_NOTHING
         blive = jnp.any(lane_live.reshape(-1, block), axis=1).astype(
             jnp.int32)
         tag = "coh" if coh else "inc"

@@ -28,7 +28,7 @@ def main(lanes: int = 262144):
 
     from tools.perf_trace import build_scene, make_rays
     from yart_tpu.kernels.pallas_fusedtrace import (
-        fused_trace_pallas, presort_keys_pallas,
+        SKEY_NOTHING, fused_trace_pallas, presort_keys_pallas,
     )
 
     block = 128
@@ -150,7 +150,7 @@ def main(lanes: int = 262144):
 
         # fused kernel on sorted rays
         rays_s = rays[order]
-        lane_live = keys[order] < (1 << 25)
+        lane_live = keys[order] < SKEY_NOTHING
         blive = jnp.any(lane_live.reshape(-1, block), axis=1).astype(
             jnp.int32)
         print(f"  {tag} live blocks: {float(jnp.mean(blive)):.2f}",

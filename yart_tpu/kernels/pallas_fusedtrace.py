@@ -131,7 +131,7 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
 
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
-                  ablate: int, instanced: bool,
+                  ablate: int, instanced: bool, groups: int,
                   *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
@@ -169,14 +169,14 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
         _fused_body(
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-            *scratch, ablate=ablate, inst=inst,
+            *scratch, ablate=ablate, inst=inst, groups=groups,
         )
 
 
 def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 pack_vmem: bool, mxu_test: bool, kbatch: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-                *scratch, ablate: int = 0, inst=None):
+                *scratch, ablate: int = 0, inst=None, groups: int = 1):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -222,17 +222,52 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
     xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
     hit = (xt >= e) & (e < t0) & (xt > floor)  # [B, cpad]
-    emin = jnp.min(jnp.where(hit, e, F32_MAX), axis=0, keepdims=True)
-    bits = lax.bitcast_convert_type(emin, jnp.int32)
     cid_iota = lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
-    # The pad-id mask guards the cluster fetch: an out-of-range read is
-    # undefined behavior on hardware (the builder's far-box pad sentinel
-    # already culls these, this is the hard guarantee).
-    key_row = jnp.where(
-        (emin < F32_MAX) & (cid_iota < n_clus),
-        (bits & ~ID_MASK) | cid_iota,
-        KEY_DEAD,
-    )
+
+    def entry_keys(rows):
+        """Packed (entry | cid) per cluster over a row slice: the min entry
+        across the slice's rays, KEY_DEAD where no ray enters. The pad-id
+        mask guards the cluster fetch: an out-of-range read is undefined
+        behavior on hardware (the builder's far-box pad sentinel already
+        culls these, this is the hard guarantee)."""
+        emin = jnp.min(
+            jnp.where(hit[rows], e[rows], F32_MAX), axis=0, keepdims=True
+        )
+        bits = lax.bitcast_convert_type(emin, jnp.int32)
+        return jnp.where(
+            (emin < F32_MAX) & (cid_iota < n_clus),
+            (bits & ~ID_MASK) | cid_iota,
+            KEY_DEAD,
+        )
+
+    if groups > 1:
+        # Sub-grouped traversal: independent t-loops + winners over row
+        # slices of the block. A cluster test then costs [block/groups, 3C]
+        # instead of [block, 3C], and each group terminates on ITS OWN
+        # cluster union — the big win on "heavy" blocks (incoherent rays
+        # entering many boxes), where a block-wide test serves only the
+        # ~10 rays that care. Exactness is preserved: every ray still sees
+        # every cluster whose entry can precede its best hit, in
+        # nearest-entry order within its group.
+        assert pack_vmem and not mxu_test and ablate == 0
+        assert block % groups == 0
+        gb = block // groups
+        for g in range(groups):
+            rows = slice(g * gb, (g + 1) * gb)
+            best_g, n_it, n_win = _trace_rows(
+                c, t_min, nee, n_clus, kbatch, pack_ref, inst,
+                o[rows], d[rows], t0[rows], floor[rows],
+                entry_keys(rows), gb,
+            )
+            lanecol = lax.broadcasted_iota(jnp.int32, (gb, 1), 0)
+            diag5 = jnp.where(lanecol == 0, n_it, 0).astype(jnp.float32)
+            diag6 = jnp.where(lanecol == 0, n_win, 0).astype(jnp.float32)
+            out_ref[0, rows] = jnp.concatenate(
+                [best_g[:, 0:5], diag5, diag6, best_g[:, 7:8]], axis=1
+            )
+        return
+
+    key_row = entry_keys(slice(None))
 
     if not pack_vmem:
         buf_ref, sem_ref = scratch
@@ -443,6 +478,135 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     )
 
 
+def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
+                pack_ref, inst, o, d, t0, floor, key_row, gb: int):
+    """Nearest-first t-loop + winners epilogue over a row slice (VMEM-pack
+    mode). Same algorithm as the monolithic body below; factored so the
+    grouped path can run it per sub-group. Returns (best [gb, 8], n_it,
+    n_win)."""
+    if inst is not None:
+        csrc_ref, cinst_ref, cfid_ref, itf_ref = inst
+
+        def _cluster_rays(cid):
+            base = cinst_ref[cid] * 12
+            r = [itf_ref[base + k] for k in range(12)]
+            ox = o[:, 0:1] * r[0] + o[:, 1:2] * r[1] + o[:, 2:3] * r[2] + r[3]
+            oy = o[:, 0:1] * r[4] + o[:, 1:2] * r[5] + o[:, 2:3] * r[6] + r[7]
+            oz = (
+                o[:, 0:1] * r[8] + o[:, 1:2] * r[9] + o[:, 2:3] * r[10]
+                + r[11]
+            )
+            dx = d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
+            dy = d[:, 0:1] * r[4] + d[:, 1:2] * r[5] + d[:, 2:3] * r[6]
+            dz = d[:, 0:1] * r[8] + d[:, 1:2] * r[9] + d[:, 2:3] * r[10]
+            return (
+                jnp.concatenate([ox, oy, oz], axis=1),
+                jnp.concatenate([dx, dy, dz], axis=1),
+            )
+
+    t_bits0 = lax.bitcast_convert_type(t0, jnp.int32)
+    cid0 = jnp.full((gb, 1), -1, jnp.int32)
+    m0 = jnp.min(key_row)
+
+    def improvable(m, t_bits, cid_best):
+        live = t_bits > (m & ~ID_MASK)
+        if nee:
+            live = live & (cid_best < 0)
+        return jnp.any(live)
+
+    def cond(st):
+        i, m, row, t_bits, cid_best = st
+        return (m != KEY_DEAD) & (i < MAX_ITERS) & improvable(
+            m, t_bits, cid_best
+        )
+
+    def body(st):
+        i, m, row, t_bits, cid_best = st
+        ms = []
+        cur = m
+        for _ in range(kbatch):
+            ms.append(cur)
+            row = jnp.where(row == cur, KEY_DEAD, row)
+            cur = jnp.min(row)
+        t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
+        for mk in ms:
+            cid = jnp.minimum(mk & ID_MASK, n_clus - 1)
+            if inst is not None:
+                tri = pack_ref[csrc_ref[cid]]
+                uo, ud = _cluster_rays(cid)
+            else:
+                tri = pack_ref[cid]
+                uo, ud = o, d
+            ro, rd = _proj(uo, ud, tri, False)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            bt = jnp.where(mk != KEY_DEAD, bt, F32_MAX)
+            t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
+            upd = bt < t_cur
+            t_bits = jnp.where(
+                upd, lax.bitcast_convert_type(bt, jnp.int32), t_bits
+            )
+            cid_best = jnp.where(upd, mk & ID_MASK, cid_best)
+        return (i + 1, cur, row, t_bits, cid_best)
+
+    n_it, _, _, t_bits_f, cid_best = lax.while_loop(
+        cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
+    )
+
+    wvals0 = jnp.where(cid_best >= 0, cid_best, KEY_DEAD)
+    neg1f = lax.bitcast_convert_type(
+        jnp.full((gb, 1), -1, jnp.int32), jnp.float32
+    )
+    best0 = jnp.concatenate(
+        [t0, jnp.zeros((gb, 3), jnp.float32), neg1f,
+         jnp.zeros((gb, 3), jnp.float32)],
+        axis=1,
+    )
+    w0 = jnp.min(wvals0)
+
+    def wcond(st):
+        j, w, wvals, best = st
+        return w != KEY_DEAD
+
+    def wbody(st):
+        j, w, wvals, best = st
+        wkey2 = jnp.where(wvals == w, KEY_DEAD, wvals)
+        w2 = jnp.min(wkey2)
+        tri = pack_ref[csrc_ref[w]] if inst is not None else pack_ref[w]
+        t_best = best[:, 0:1]
+        if inst is not None:
+            wo, wd = _cluster_rays(w)
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                wo, wd, t_best, tri, c, t_min, floor=floor
+            )
+            gid = lax.bitcast_convert_type(
+                cfid_ref[w] + col[:, None], jnp.float32
+            )
+        else:
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                o, d, t_best, tri, c, t_min, floor=floor
+            )
+            fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)
+            gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
+        new = jnp.concatenate(
+            [
+                bt[:, None],
+                bu[:, None],
+                bv[:, None],
+                bb.astype(jnp.float32)[:, None],
+                gid,
+                jnp.zeros((gb, 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        best = jnp.where(anyv[:, None], new, best)
+        return (j + 1, w2, wkey2, best)
+
+    n_win, _, _, best = lax.while_loop(
+        wcond, wbody, (jnp.int32(0), w0, wvals0, best0)
+    )
+    return best, n_it, n_win
+
+
 N_SLOTS = 2  # nearest-entered clusters extracted for the sort key
 
 
@@ -575,7 +739,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     jax.jit,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
-        "ablate", "n_clus", "interpret",
+        "ablate", "n_clus", "interpret", "groups",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -585,6 +749,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        kbatch: int = 8,
                        blive=None,
                        ablate: int = 0,
+                       groups: int = 1,
                        clus_src=None,
                        clus_inst=None,
                        clus_fid=None,
@@ -610,6 +775,11 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         blive = jnp.ones((n_blocks,), jnp.int32)
     instanced = clus_src is not None
     assert not (instanced and mxu_test)
+    # Sub-grouped traversal needs the VMEM-resident pack (per-group DMA
+    # would re-fetch clusters) and the plain test path.
+    if not pack_vmem or mxu_test or ablate:
+        groups = 1
+    assert block % groups == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5 if instanced else 1,
@@ -650,7 +820,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         functools.partial(
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
-            pack_vmem, mxu_test, kbatch, ablate, instanced,
+            pack_vmem, mxu_test, kbatch, ablate, instanced, groups,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),

@@ -52,7 +52,8 @@ MAX_CLUSTERS = 1 << ID_BITS  # bigger scenes use render/bintrace.py
 # env-overridable defaults, read once at import, so a (block, kbatch) sweep
 # needs no code edits and production callers pick up tuned values.
 TRACE_BLOCK = int(os.environ.get("YART_TRACE_BLOCK", "128"))
-TRACE_KBATCH = int(os.environ.get("YART_TRACE_KBATCH", "8"))
+TRACE_KBATCH = int(os.environ.get("YART_TRACE_KBATCH", "4"))
+TRACE_GROUPS = int(os.environ.get("YART_TRACE_GROUPS", "1"))
 
 
 def _n_clus(meta) -> int:
@@ -152,6 +153,7 @@ def intersect_blocktrace(
     max_rounds: int = 64,
     fused: bool = True,
     kbatch: int = None,
+    groups: int = None,
     interpret: bool = False,
 ):
     """Closest-hit (or NEE early-out) through the block-trace pipeline.
@@ -170,6 +172,8 @@ def intersect_blocktrace(
         block = TRACE_BLOCK
     if kbatch is None:
         kbatch = TRACE_KBATCH
+    if groups is None:
+        groups = TRACE_GROUPS
     n = o.shape[0]
     c = meta.cluster_size
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -222,8 +226,8 @@ def intersect_blocktrace(
             )
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
-            nee=nee, kbatch=kbatch, blive=blive, interpret=interpret,
-            **inst_kw,
+            nee=nee, kbatch=kbatch, groups=groups, blive=blive,
+            interpret=interpret, **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
@@ -393,6 +397,7 @@ def intersect_blocktrace_gated(
     max_casts: int = 32,
     fused: bool = True,
     kbatch: int = None,
+    groups: int = None,
     interpret: bool = False,
 ):
     """Block-trace with per-hit gates: stochastic alpha and (for NEE)
@@ -428,7 +433,7 @@ def intersect_blocktrace_gated(
         tm = jnp.where(act, t_max_v, -1.0)
         h = intersect_blocktrace(
             scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
-            block=block, k=k, fused=fused, kbatch=kbatch,
+            block=block, k=k, fused=fused, kbatch=kbatch, groups=groups,
             interpret=interpret,
         )
         hit = h.mask & act
