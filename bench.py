@@ -368,23 +368,39 @@ def bench_shade_kernel(results):
         for r in range(4)
     ]
 
+    def chained_wave(k, meta, cam, cfg, sampler):
+        @jax.jit
+        def f(s, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            rad = None
+            for i in range(k):
+                si = sidx if rad is None else (
+                    sidx + total.astype(jnp.uint32) + jnp.uint32(i)
+                ) % jnp.uint32(spp)
+                rad, rays = render_wave(s, meta, cam, sampler, cfg,
+                                        px, py, si)
+                total = total + rays.astype(jnp.float32)
+            return rad, total
+        return f
+
+    reps = 3
     for mode in ("xla", "pallas"):
         cfg = dataclasses.replace(
             RenderConfig(samples=spp, max_depth=8), shade_kernel=mode
         )
         sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
-        fn = jax.jit(lambda s, px, py, si, cfg=cfg, sampler=sampler:
-                     render_wave(s, meta, cam, sampler, cfg, px, py, si))
-        out, rays = fn(scene, px, py, sidxs[0])
+        fk = chained_wave(4, meta, cam, cfg, sampler)
+        out, total = fk(scene, px, py, sidxs[0])
         float(jnp.sum(out[:8]))
         t0 = time.time()
-        total = 0.0
-        reps = 3
+        rays_total = 0.0
         for r in range(reps):
-            out, rays = fn(scene, px, py, sidxs[1 + r])
+            out, total = fk(scene, px, py, sidxs[1 + r])
             float(jnp.sum(out[:8]))
-            total += float(rays)
-        results[f"cornell_mis_shade_{mode}"] = total / (time.time() - t0) / 1e6
+            rays_total += float(total)
+        results[f"cornell_mis_shade_{mode}"] = (
+            rays_total / (time.time() - t0) / 1e6
+        )
 
     # Flagship-scale shade variant: the atrium wave's non-traversal tail is
     # ~45% (tools/profile_wave.py) — this is where the kernel should pay.
@@ -399,17 +415,18 @@ def bench_shade_kernel(results):
         RenderConfig(samples=spp, max_depth=8), shade_kernel="pallas"
     )
     sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
-    fn = jax.jit(lambda s, px, py, si: render_wave(
-        s, meta_a, cam_a, sampler, cfg, px, py, si))
-    out, rays = fn(scene_a, px, py, sidxs[0])
+    fk = chained_wave(3, meta_a, cam_a, cfg, sampler)
+    out, total = fk(scene_a, px, py, sidxs[0])
     float(jnp.sum(out[:8]))
     t0 = time.time()
-    total = 0.0
+    rays_total = 0.0
     for r in range(3):
-        out, rays = fn(scene_a, px, py, sidxs[1 + r])
+        out, total = fk(scene_a, px, py, sidxs[1 + r])
         float(jnp.sum(out[:8]))
-        total += float(rays)
-    results["atrium_wave_shade_pallas"] = total / (time.time() - t0) / 1e6
+        rays_total += float(total)
+    results["atrium_wave_shade_pallas"] = (
+        rays_total / (time.time() - t0) / 1e6
+    )
 
 
 def _tpu_tunnel_alive() -> bool:
