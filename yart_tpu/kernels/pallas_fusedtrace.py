@@ -607,7 +607,7 @@ def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
     return best, n_it, n_win
 
 
-N_SLOTS = 2  # nearest-entered clusters extracted for the sort key
+N_SLOTS = 4  # nearest-entered clusters extracted for the sort key
 
 
 def _sweep_bounds(o, d, boxes_ref, cpad, use_dots: bool):
@@ -682,17 +682,26 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
     heavy = count > N_SLOTS
     cid0 = slots[0] & ID_MASK
     cid1 = slots[1] & ID_MASK
-    # Sort key: empty/dead rays last (bit 25); rays needing the full sweep
-    # ("heavy", > N_SLOTS clusters) grouped separately (bit 24) so they
-    # don't salt light blocks' unions; light rays grouped by the (nearest,
-    # 2nd-nearest) cluster pair so blocks share cluster sets.
+    cid2 = slots[2] & ID_MASK
+    cid3 = slots[3] & ID_MASK
+    # Primary sort key: empty/dead rays last (nothing bit); rays with
+    # candidate tails beyond N_SLOTS ("heavy") grouped separately so they
+    # don't salt light blocks' unions; then the (nearest, 2nd) cluster
+    # pair. Secondary key extends the grouping to the (3rd, 4th) visit
+    # slots — round 3: flagship-scene bounce rays average ~3.7 entered
+    # clusters, and grouping only the first two left block unions of
+    # 30-50; sharing the 4-slot visit prefix shrinks the union toward 4.
     skey = jnp.where(
         nothing,
         SKEY_NOTHING,
         jnp.where(heavy, SKEY_HEAVY, 0) | (cid0 << ID_BITS) | (cid1 & ID_MASK),
     )
+    skey2 = jnp.where(
+        nothing, SKEY_NOTHING, (cid2 << ID_BITS) | (cid3 & ID_MASK)
+    )
     out_ref[...] = jnp.concatenate(
-        [skey] + slots + [count, jnp.zeros((block, 4), jnp.int32)], axis=1
+        [skey] + slots + [count, skey2, jnp.zeros((block, 1), jnp.int32)],
+        axis=1,
     )
 
 
@@ -702,10 +711,10 @@ def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
 def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
                         block: int = 128, interpret: bool = False):
     """rays [N, 8] f32 (o3, d3, t_max, floor), N a multiple of `block`.
-    Returns [N, 8] i32: col 0 = block sort key (nothing | heavy | cid0 |
-    cid1), cols 1..N_SLOTS = packed (entry | cid) keys of the N_SLOTS
-    nearest entered clusters (KEY_DEAD-padded), col 1 + N_SLOTS = entered
-    count.
+    Returns [N, 8] i32: col 0 = primary block sort key (nothing | heavy |
+    cid0 | cid1), cols 1..N_SLOTS = packed (entry | cid) keys of the
+    N_SLOTS nearest entered clusters (KEY_DEAD-padded), col 1 + N_SLOTS =
+    entered count, col 6 = secondary sort key (cid2 | cid3).
 
     Grouping rays by the clusters they actually enter (instead of the
     octant+Morton proxy) is what gives ray blocks shared cluster sets —

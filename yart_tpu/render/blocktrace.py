@@ -200,14 +200,18 @@ def intersect_blocktrace(
             pad_rows = jnp.zeros((pad, 8), jnp.float32).at[:, 6].set(-1.0)
             rays = jnp.concatenate([rays, pad_rows], axis=0)
         np_ = n + pad
-        key = presort_keys_pallas(
+        pk = presort_keys_pallas(
             rays, scene.clus_box, _n_clus(meta), t_min,
             block=block, interpret=interpret,
-        )[:, 0].astype(jnp.uint32)
-        # One sort yields both the permutation and the sorted keys (for
-        # the per-block live flags) — no key gather afterwards.
-        key_s, order = lax.sort_key_val(
-            key, jnp.arange(np_, dtype=jnp.int32)
+        )
+        key = pk[:, 0].astype(jnp.uint32)
+        key2 = pk[:, 6].astype(jnp.uint32)
+        # One two-key sort yields the permutation and the sorted primary
+        # keys (for the per-block live flags) — no key gather afterwards.
+        # The secondary key groups rays by their (3rd, 4th) visit slots,
+        # which shrinks heavy-block cluster unions on flagship scenes.
+        key_s, _, order = lax.sort(
+            (key, key2, jnp.arange(np_, dtype=jnp.int32)), num_keys=2
         )
         inv = jnp.argsort(order)
         rays_s = rays[order]
