@@ -164,6 +164,13 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
         axis=1,
     )
 
+    # NOTE (round 3): a slot-driven light-block path (per-ray presort slot
+    # keys riding in a wide ray matrix, skipping the in-kernel sweep) was
+    # built and measured a NET LOSS (~-5% on both the atrium wave and the
+    # sphere field): the [B, N_SLOTS] per-iteration extraction costs about
+    # the same as the [1, cpad] key-row extraction, so it only saved the
+    # ~7.5 us/block sweep while adding load width and a double-body
+    # kernel. The sweep path below is the measured winner.
     @pl.when(blive_ref[pl.program_id(0)] != 0)
     def _live_body():
         _fused_body(
@@ -478,31 +485,106 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
     )
 
 
+def _make_cluster_rays(inst, o, d):
+    """Instance-space ray transform closure (or None): the UNNORMALIZED
+    inverse transform keeps the hit parameter equal to the world parameter
+    (t/floor/termination bounds compose). 12 SMEM reads per candidate."""
+    if inst is None:
+        return None
+    csrc_ref, cinst_ref, cfid_ref, itf_ref = inst
+
+    def _cluster_rays(cid):
+        base = cinst_ref[cid] * 12
+        r = [itf_ref[base + k] for k in range(12)]
+        ox = o[:, 0:1] * r[0] + o[:, 1:2] * r[1] + o[:, 2:3] * r[2] + r[3]
+        oy = o[:, 0:1] * r[4] + o[:, 1:2] * r[5] + o[:, 2:3] * r[6] + r[7]
+        oz = (
+            o[:, 0:1] * r[8] + o[:, 1:2] * r[9] + o[:, 2:3] * r[10]
+            + r[11]
+        )
+        dx = d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
+        dy = d[:, 0:1] * r[4] + d[:, 1:2] * r[5] + d[:, 2:3] * r[6]
+        dz = d[:, 0:1] * r[8] + d[:, 1:2] * r[9] + d[:, 2:3] * r[10]
+        return (
+            jnp.concatenate([ox, oy, oz], axis=1),
+            jnp.concatenate([dx, dy, dz], axis=1),
+        )
+
+    return _cluster_rays
+
+
+def _winners_rows(c: int, t_min: float, pack_ref, inst, cluster_rays,
+                  o, d, t0, floor, cid_best, gb: int):
+    """Winners epilogue over a row slice (VMEM-pack mode): re-test each
+    DISTINCT winning cluster id with the full (u, v, backface, triangle)
+    extraction and keep the exact closest hit. Returns (best [gb, 8],
+    n_win)."""
+    if inst is not None:
+        csrc_ref, cinst_ref, cfid_ref, itf_ref = inst
+    wvals0 = jnp.where(cid_best >= 0, cid_best, KEY_DEAD)
+    neg1f = lax.bitcast_convert_type(
+        jnp.full((gb, 1), -1, jnp.int32), jnp.float32
+    )
+    best0 = jnp.concatenate(
+        [t0, jnp.zeros((gb, 3), jnp.float32), neg1f,
+         jnp.zeros((gb, 3), jnp.float32)],
+        axis=1,
+    )
+    w0 = jnp.min(wvals0)
+
+    def wcond(st):
+        j, w, wvals, best = st
+        return w != KEY_DEAD
+
+    def wbody(st):
+        j, w, wvals, best = st
+        wkey2 = jnp.where(wvals == w, KEY_DEAD, wvals)
+        w2 = jnp.min(wkey2)
+        tri = pack_ref[csrc_ref[w]] if inst is not None else pack_ref[w]
+        t_best = best[:, 0:1]
+        if inst is not None:
+            wo, wd = cluster_rays(w)
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                wo, wd, t_best, tri, c, t_min, floor=floor
+            )
+            gid = lax.bitcast_convert_type(
+                cfid_ref[w] + col[:, None], jnp.float32
+            )
+        else:
+            bt, bu, bv, bb, col, anyv = _pair_test(
+                o, d, t_best, tri, c, t_min, floor=floor
+            )
+            fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)
+            gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
+        new = jnp.concatenate(
+            [
+                bt[:, None],
+                bu[:, None],
+                bv[:, None],
+                bb.astype(jnp.float32)[:, None],
+                gid,
+                jnp.zeros((gb, 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        best = jnp.where(anyv[:, None], new, best)
+        return (j + 1, w2, wkey2, best)
+
+    n_win, _, _, best = lax.while_loop(
+        wcond, wbody, (jnp.int32(0), w0, wvals0, best0)
+    )
+    return best, n_win
+
+
 def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
                 pack_ref, inst, o, d, t0, floor, key_row, gb: int):
     """Nearest-first t-loop + winners epilogue over a row slice (VMEM-pack
     mode). Same algorithm as the monolithic body below; factored so the
     grouped path can run it per sub-group. Returns (best [gb, 8], n_it,
     n_win)."""
+    _cluster_rays = _make_cluster_rays(inst, o, d)
     if inst is not None:
         csrc_ref, cinst_ref, cfid_ref, itf_ref = inst
-
-        def _cluster_rays(cid):
-            base = cinst_ref[cid] * 12
-            r = [itf_ref[base + k] for k in range(12)]
-            ox = o[:, 0:1] * r[0] + o[:, 1:2] * r[1] + o[:, 2:3] * r[2] + r[3]
-            oy = o[:, 0:1] * r[4] + o[:, 1:2] * r[5] + o[:, 2:3] * r[6] + r[7]
-            oz = (
-                o[:, 0:1] * r[8] + o[:, 1:2] * r[9] + o[:, 2:3] * r[10]
-                + r[11]
-            )
-            dx = d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
-            dy = d[:, 0:1] * r[4] + d[:, 1:2] * r[5] + d[:, 2:3] * r[6]
-            dz = d[:, 0:1] * r[8] + d[:, 1:2] * r[9] + d[:, 2:3] * r[10]
-            return (
-                jnp.concatenate([ox, oy, oz], axis=1),
-                jnp.concatenate([dx, dy, dz], axis=1),
-            )
 
     t_bits0 = lax.bitcast_convert_type(t0, jnp.int32)
     cid0 = jnp.full((gb, 1), -1, jnp.int32)
@@ -551,58 +633,9 @@ def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
     n_it, _, _, t_bits_f, cid_best = lax.while_loop(
         cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
     )
-
-    wvals0 = jnp.where(cid_best >= 0, cid_best, KEY_DEAD)
-    neg1f = lax.bitcast_convert_type(
-        jnp.full((gb, 1), -1, jnp.int32), jnp.float32
-    )
-    best0 = jnp.concatenate(
-        [t0, jnp.zeros((gb, 3), jnp.float32), neg1f,
-         jnp.zeros((gb, 3), jnp.float32)],
-        axis=1,
-    )
-    w0 = jnp.min(wvals0)
-
-    def wcond(st):
-        j, w, wvals, best = st
-        return w != KEY_DEAD
-
-    def wbody(st):
-        j, w, wvals, best = st
-        wkey2 = jnp.where(wvals == w, KEY_DEAD, wvals)
-        w2 = jnp.min(wkey2)
-        tri = pack_ref[csrc_ref[w]] if inst is not None else pack_ref[w]
-        t_best = best[:, 0:1]
-        if inst is not None:
-            wo, wd = _cluster_rays(w)
-            bt, bu, bv, bb, col, anyv = _pair_test(
-                wo, wd, t_best, tri, c, t_min, floor=floor
-            )
-            gid = lax.bitcast_convert_type(
-                cfid_ref[w] + col[:, None], jnp.float32
-            )
-        else:
-            bt, bu, bv, bb, col, anyv = _pair_test(
-                o, d, t_best, tri, c, t_min, floor=floor
-            )
-            fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)
-            gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
-        new = jnp.concatenate(
-            [
-                bt[:, None],
-                bu[:, None],
-                bv[:, None],
-                bb.astype(jnp.float32)[:, None],
-                gid,
-                jnp.zeros((gb, 3), jnp.float32),
-            ],
-            axis=1,
-        )
-        best = jnp.where(anyv[:, None], new, best)
-        return (j + 1, w2, wkey2, best)
-
-    n_win, _, _, best = lax.while_loop(
-        wcond, wbody, (jnp.int32(0), w0, wvals0, best0)
+    best, n_win = _winners_rows(
+        c, t_min, pack_ref, inst, _cluster_rays, o, d, t0, floor,
+        cid_best, gb,
     )
     return best, n_it, n_win
 
@@ -652,10 +685,35 @@ def _sweep_bounds(o, d, boxes_ref, cpad, use_dots: bool):
 def _presort_kernel(t_min: float, n_clus: int, rays_ref, boxes_ref, out_ref):
     """Per-ray presort: the N_SLOTS nearest-entered clusters as packed
     (entry | cid) keys, the entered count, and the block sort key. Same
-    conservative sweep as _fused_kernel stage 1."""
+    conservative sweep as _fused_kernel stage 1.
+
+    Blocks whose rays are ALL dead (t_max <= 0: retired wavefront paths,
+    unneeded shadow lanes) skip the sweep entirely — unlike the fused
+    kernel this runs BEFORE the coherence sort, but wavefront lanes are
+    pixel-ordered so paths retire in spatially coherent runs, and at late
+    bounces most pre-sort blocks are fully dead (round-3 profile: presort
+    cost was constant ~10 ms/invocation regardless of live count)."""
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
     rays = rays_ref[...]
+    t0_all = rays[:, 6:7]
+    out_ref[...] = jnp.concatenate(
+        [
+            jnp.full((block, 1), SKEY_NOTHING, jnp.int32),
+            jnp.full((block, N_SLOTS), KEY_DEAD, jnp.int32),
+            jnp.zeros((block, 1), jnp.int32),
+            jnp.full((block, 1), SKEY_NOTHING, jnp.int32),
+            jnp.zeros((block, 8 - 3 - N_SLOTS), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    @pl.when(jnp.any(t0_all > 0.0))
+    def _live():
+        _presort_body(t_min, n_clus, rays, boxes_ref, out_ref, block, cpad)
+
+
+def _presort_body(t_min, n_clus, rays, boxes_ref, out_ref, block, cpad):
     o = rays[:, 0:3]
     d = rays[:, 3:6]
     t0 = rays[:, 6:7]
@@ -769,14 +827,16 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     clus_box [8, cpad]; clus_pack [n_clus, 8, 3C] with the first-triangle
     id bitcast into row 4 lane 0 (scene/clusters.py woop_rows); blive
     [Np // block] i32: 0 = block provably enters nothing (skipped whole,
-    including the box sweep), nonzero = live (full sweep + t-loop; a
-    per-ray candidate-slots fast path was tried and measured net-negative
-    — BASELINE.md traversal history).
+    including the box sweep), nonzero = live (full sweep + t-loop). Two
+    candidate-list fast paths were tried and measured net-negative: a
+    round-2 per-BLOCK candidate list (distinct-cluster count is the work)
+    and a round-3 per-RAY slot path (see the note in _fused_kernel).
     Returns out [Np, 8] f32: cols t, u, v, back, tri(bitcast i32), it,
     win, pad; lanes with no hit keep t == t_cur, tri == -1."""
     n = rays.shape[0]
     n_blocks = n // block
     assert n_blocks * block == n
+    w_cols = rays.shape[1]
     cpad = clus_box.shape[1]
     if pack_vmem is None:
         pack_vmem = clus_pack.size * 4 <= VMEM_PACK_BYTES
@@ -784,6 +844,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         blive = jnp.ones((n_blocks,), jnp.int32)
     instanced = clus_src is not None
     assert not (instanced and mxu_test)
+    assert not (mxu_test and w_cols != 8)
     # Sub-grouped traversal needs the VMEM-resident pack (per-group DMA
     # would re-fetch clusters) and the plain test path.
     if not pack_vmem or mxu_test or ablate:
@@ -794,7 +855,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         num_scalar_prefetch=5 if instanced else 1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 8), lambda b, *_: (b, 0),
+            pl.BlockSpec((block, w_cols), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
             pl.BlockSpec((8, block), lambda b, *_: (0, b),
