@@ -413,7 +413,18 @@ def li(
             alpha_seed=bounce_seed,
         )
         if differentiable:
+            # stop_gradient: visibility is non-differentiable (detached
+            # sampling). checkpoint_name: the remat policy SAVES traversal
+            # outputs as residuals so the backward pass recomputes only
+            # shading math, never the traversal kernels (round-3 profile:
+            # traversal is >50% of a flagship wave, and hit records are
+            # ~10 f32/lane/bounce — cheap residuals).
+            from jax.ad_checkpoint import checkpoint_name
+
             hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
+            hit = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "trace"), hit
+            )
             if cfg.diff_geometry:
                 if meta.n_instances:
                     raise NotImplementedError(
@@ -536,7 +547,12 @@ def li(
                 alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
             )
             if differentiable:
+                from jax.ad_checkpoint import checkpoint_name
+
                 occ = jax.tree_util.tree_map(lax.stop_gradient, occ)
+                occ = jax.tree_util.tree_map(
+                    lambda x: checkpoint_name(x, "trace"), occ
+                )
             rays = rays + jnp.sum(nee_need.astype(jnp.float32))
 
             pdf_light = ls.select_p * ls.pdf / jnp.maximum(absdot(ls.n, ls.wi), 1e-9)
@@ -600,9 +616,18 @@ def li(
         # Rematerialize each bounce in the backward pass: without this the
         # scan stores every in-bounce intermediate (intersections, BSDF
         # internals) for all depths, which does not fit HBM at image scale.
-        # jax.checkpoint trades that for one extra forward per bounce.
+        # jax.checkpoint trades that for one extra forward per bounce —
+        # EXCEPT the traversal kernels, whose outputs are saved by name
+        # (see checkpoint_name above): hits are stop-gradient anyway, so
+        # re-running presort + the fused trace in the backward sweep is
+        # pure waste.
         st, _ = lax.scan(
-            jax.checkpoint(scan_body, prevent_cse=False),
+            jax.checkpoint(
+                scan_body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "trace"
+                ),
+            ),
             st, None, length=cfg.max_depth,
         )
     else:
