@@ -90,3 +90,31 @@ def test_atrium_instanced_matches_baked():
     np.testing.assert_allclose(
         np.asarray(hb.t)[both], np.asarray(hi.t)[both], rtol=2e-4, atol=2e-4
     )
+
+
+def test_luxball_scene():
+    """LuxBall analog (src/main.cpp:37): smooth glass shell + metal core
+    on a pedestal; a small render must be finite and show the bright env
+    through-glass paths (transmission > 0 pixels)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.render.renderer import Renderer
+    from yart_tpu.scene.showcase import luxball
+
+    scene, meta = luxball().compile()
+    assert meta.n_tris > 10_000
+    m = scene.materials
+    trans = np.asarray(m.transmission)
+    metal = np.asarray(m.metallic)
+    assert (trans > 0.99).any() and (metal > 0.99).any()
+    cam = CameraConfig(image_size=(32, 32), focal_length=45.0,
+                       position=(0.12, 0.28, 0.35),
+                       forward=(-0.12, -0.22, -0.35), exposure=1.0)
+    cfg = RenderConfig(samples=8, max_depth=6, tonemap="none",
+                       estimator="mean", first_wave_samples=8,
+                       max_wave_samples=8)
+    img = Renderer(scene, meta, cam, cfg).render().hdr
+    assert np.isfinite(img).all()
+    assert float(jnp.mean(jnp.asarray(img))) > 0.01

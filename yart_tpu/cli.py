@@ -21,7 +21,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="yart-tpu", description=__doc__)
     p.add_argument("scene", help=".gltf/.glb path or procedural name "
                                "(cornell | cornell-mat | spheres | furnace | "
-                               "atrium | atrium-ivy | atrium-inst | roadster)")
+                               "atrium | atrium-ivy | atrium-inst | roadster | luxball)")
     p.add_argument("--config", default=None,
                    help="JSON file of flag defaults (a config system — the "
                         "reference's knobs are compile-time edits, "
@@ -103,6 +103,10 @@ def build_scene(args):
 
         b = atrium(ivy=args.scene.endswith("ivy"),
                    instanced=args.scene.endswith("inst"))
+    elif args.scene == "luxball":
+        from yart_tpu.scene.showcase import luxball
+
+        b = luxball()
     elif args.scene == "roadster":
         from yart_tpu.scene.showcase import roadster
 
@@ -130,11 +134,13 @@ def default_camera(args, name):
         "atrium-ivy": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
         "atrium-inst": ((-10.0, 1.8, 0.0), (8.0, 2.6, 0.0)),
         "roadster": ((4.4, 1.7, 5.0), (0.0, 0.5, 0.0)),
+        # Reference LuxBall camera (src/main.cpp:37).
+        "luxball": ((0.12, 0.28, 0.35), (0.0, 0.06, 0.0)),
     }
     # Interior scenes under a sky env need positive EV (the reference's
     # Sponza config runs at +5 EV, src/main.cpp:34).
     exposure = {"atrium": 3.0, "atrium-ivy": 3.0, "atrium-inst": 3.0,
-                "roadster": 1.0}
+                "roadster": 1.0, "luxball": 1.0}
     if args.exposure is None:
         args.exposure = exposure.get(name, 0.0)
     pos, target = defaults.get(name, ((0, 1, 4), (0, 1, 0)))

@@ -577,3 +577,48 @@ def roadster(paint=(0.62, 0.04, 0.05)) -> SceneBuilder:
 
     b.set_env(sky_octahedral(512, sun_dir=(0.5, 0.6, -0.45)), scale=1.0)
     return b
+
+
+def luxball() -> SceneBuilder:
+    """LuxBall analog (the reference's close-up material showcase,
+    src/main.cpp:37: camera {0.12, 0.28, 0.35} -> {0, ~0.05, 0}): a smooth
+    glass sphere enclosing an offset gold sphere, on a fluted marble
+    pedestal over a tiled floor, under the sky HDRI — exercises smooth
+    dielectric F/T splits, TIR, nested closest-hits and clearcoat-free
+    metal highlights at macro scale (scene units ~10 cm)."""
+    from yart_tpu.scene.procedural import uv_sphere
+
+    b = SceneBuilder()
+    m_glass = b.add_material(
+        base_color=(1.0, 1.0, 1.0, 1.0), transmission=1.0, roughness=0.0,
+        ior=1.5, thin=False,
+    )
+    m_gold = b.add_material(
+        base_color=(0.95, 0.67, 0.24, 1.0), metallic=1.0, roughness=0.18
+    )
+    t_marble = b.add_texture("rgba", marble_texture(512))
+    m_marble = b.add_material(roughness=0.2, tex_base=t_marble)
+    tile_rgba, tile_mr, _ = tile_textures(512, seed=11)
+    t_floor = b.add_texture("rgba", tile_rgba)
+    t_floor_mr = b.add_texture("2ch", tile_mr)
+    m_floor = b.add_material(roughness=0.5, tex_base=t_floor,
+                             tex_mr=t_floor_mr)
+
+    # Floor patch (world ~1.2 m across; the subject sits at the origin).
+    fp, fuv, fidx = grid_patch((-0.6, 0.0, -0.6), (1.2, 0, 0), (0, 0, 1.2),
+                               8, 8, uv_scale=4.0)
+    b.add_mesh(fp, fidx, m_floor, uvs=fuv)
+
+    # Fluted pedestal (classic column look).
+    cp, cn, cuv, cidx = cylinder((0.0, 0.01, 0.0), 0.085, 0.02, seg=64,
+                                 rings=4, flutes=0.012, cap=True)
+    b.add_mesh(cp, cidx, m_marble, normals=cn, uvs=cuv)
+
+    # Glass shell + offset gold core.
+    gp, gn, gt = uv_sphere((0.0, 0.075, 0.0), 0.055, n_theta=48, n_phi=96)
+    b.add_mesh(gp, gt, m_glass, normals=gn)
+    ip, inn, it = uv_sphere((0.0, 0.068, 0.0), 0.034, n_theta=32, n_phi=64)
+    b.add_mesh(ip, it, m_gold, normals=inn)
+
+    b.set_env(sky_octahedral(512, sun_dir=(0.4, 0.65, 0.5)), scale=1.0)
+    return b
