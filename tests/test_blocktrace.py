@@ -123,6 +123,35 @@ def test_fused_variants_agree(scene_rays):
         assert same_tri >= 0.999, (key, same_tri)
 
 
+@pytest.mark.parametrize("kbatch", [1, 4, 8])
+def test_tfuse_bit_exact(scene_rays, kbatch):
+    """The wide-fused t-loop (one op chain over all kbatch clusters,
+    tfuse=True) is BIT-exact vs the sequential per-cluster fold: same f32
+    formulas, rounding-free min, lowest-lane tie-break == first-k-wins."""
+    from yart_tpu.kernels.pallas_fusedtrace import fused_trace_pallas
+
+    scene, meta, o, d = scene_rays
+    n = 2048
+    rays = jnp.concatenate(
+        [o, d, jnp.full((n, 1), 100.0), jnp.zeros((n, 1))], axis=1
+    )
+    kw = dict(kbatch=kbatch, interpret=True)
+    a = np.asarray(fused_trace_pallas(
+        rays, scene.clus_box, scene.clus_pack, 256,
+        meta.cluster_size, 1e-3, **kw,
+    ))
+    b = np.asarray(fused_trace_pallas(
+        rays, scene.clus_box, scene.clus_pack, 256,
+        meta.cluster_size, 1e-3, tfuse=True, **kw,
+    ))
+    np.testing.assert_array_equal(
+        a[:, 0].view(np.int32), b[:, 0].view(np.int32)
+    )
+    np.testing.assert_array_equal(
+        a[:, 4].view(np.int32), b[:, 4].view(np.int32)
+    )
+
+
 def test_lane_count_not_block_multiple(scene_rays):
     scene, meta, o, d = scene_rays
     o2, d2 = o[:1000], d[:1000]

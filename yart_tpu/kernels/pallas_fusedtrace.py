@@ -129,9 +129,84 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
     return jnp.min(jnp.where(valid, t, F32_MAX), axis=1, keepdims=True)
 
 
+def _t_only_fused(po, pd, t_best, floor, ms, pack_ref, c: int,
+                  t_min: float, n_clus: int, mxu: bool, cid_best, t_bits):
+    """One WIDE op chain testing all K batched clusters at once
+    (`tfuse=True`). MEASURED A LOSS at every K — kept selectable as the
+    reproducible record (tools/diag_tloop.py).
+
+    Hypothesis: the per-cluster test chain looked op-issue-bound (a
+    [16, 3C] op costs nearly as much as a [128, 3C] one), so K
+    independent [B, C]-third chains would pay K fixed costs per op;
+    lane-concatenating the K packs to [8, 3CK], projecting once at
+    [B, 3CK], and running the ~20-op validity + min chain once at [B, CK]
+    should cost ~1/K. Measured (132k tris, 262k rays, chained in-graph):
+    incoherent 58.4-58.7 ms at K=4/8 (65.6 at 16, 70.9 at 2) vs 50.5 ms
+    for the sequential fold; coherent 13.9-15.0 vs 12.9. Conclusion: ops
+    *scale with lane width* beyond ~[128, 384] — the fixed-cost plateau
+    observed on the row axis is the throughput floor of a ~48-vreg op,
+    not issue latency — so a [B, 3CK] chain costs ~K x a [B, 3C] one and
+    the concat/regroup moves are pure overhead. The per-distinct-cluster
+    cost (~1.3 us/block) is therefore a genuine VPU-throughput floor for
+    this data layout, closing the lane-fusion family of optimizations.
+
+    Result is bit-exact vs the sequential fold (same f32 formulas,
+    rounding-free min, lowest-lane tie-break == first-k-wins — asserted
+    by tests/test_blocktrace.py::test_tfuse_bit_exact). Dead tail slots
+    (mk == KEY_DEAD) are masked per lane group. Returns
+    (t_bits, cid_best)."""
+    kb = len(ms)
+    cids = [jnp.minimum(mk & ID_MASK, n_clus - 1) for mk in ms]
+    triw = jnp.concatenate([pack_ref[cid] for cid in cids], axis=1)
+    ro, rd = _proj(po, pd, triw, mxu)  # [B, 3CK]
+    cat = lambda a, j: jnp.concatenate(
+        [a[:, (3 * k + j) * c : (3 * k + j + 1) * c] for k in range(kb)],
+        axis=1,
+    )
+    no, uo, vo = cat(ro, 0), cat(ro, 1), cat(ro, 2)
+    nd, ud, vd = cat(rd, 0), cat(rd, 1), cat(rd, 2)
+    consts = triw[3:4, :]
+    cn, cu, cv = cat(consts, 0), cat(consts, 1), cat(consts, 2)
+    dead = jnp.concatenate(
+        [
+            jnp.full((1, c), mk == KEY_DEAD)
+            for mk in ms
+        ],
+        axis=1,
+    )
+    t = (cn - no) / nd
+    u = uo + t * ud - cu
+    v = vo + t * vd - cv
+    valid = (
+        (jnp.abs(nd) >= EPS_DET)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_best) & (t > floor)
+        & ~dead
+    )
+    tm_ = jnp.where(valid, t, F32_MAX)
+    bt = jnp.min(tm_, axis=1, keepdims=True)  # [B, 1]
+    ck = c * kb
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+    lane_best = jnp.min(
+        jnp.where(tm_ == bt, lane_iota, ck), axis=1, keepdims=True
+    )
+    kidx = lane_best // c  # [B, 1]
+    cid_w = jnp.full_like(kidx, -1)
+    for k in range(kb):
+        cid_w = jnp.where(kidx == k, ms[k] & ID_MASK, cid_w)
+    upd = bt < lax.bitcast_convert_type(t_bits, jnp.float32)
+    t_bits = jnp.where(
+        upd, lax.bitcast_convert_type(bt, jnp.int32), t_bits
+    )
+    cid_best = jnp.where(upd, cid_w, cid_best)
+    return t_bits, cid_best
+
+
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
                   ablate: int, instanced: bool, groups: int,
+                  tfuse: bool,
                   *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
@@ -177,13 +252,15 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
             *scratch, ablate=ablate, inst=inst, groups=groups,
+            tfuse=tfuse,
         )
 
 
 def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 pack_vmem: bool, mxu_test: bool, kbatch: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
-                *scratch, ablate: int = 0, inst=None, groups: int = 1):
+                *scratch, ablate: int = 0, inst=None, groups: int = 1,
+                tfuse: bool = False):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -356,6 +433,13 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             row = jnp.where(row == cur, KEY_DEAD, row)
             cur = jnp.min(row)
         t_best = lax.bitcast_convert_type(t_bits, jnp.float32)
+        if tfuse:
+            assert inst is None
+            t_bits, cid_best = _t_only_fused(
+                po, pd, t_best, floor, ms, pack_ref, c, t_min,
+                n_clus, mxu_test, cid_best, t_bits,
+            )
+            return (i + 1, cur, row, t_bits, cid_best)
         for mk in ms:
             # Dead tail slots read cluster 0 harmlessly; their t folds
             # to F32_MAX. (mk & ID_MASK of KEY_DEAD is ID_MASK -> clamp.)
@@ -806,7 +890,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     jax.jit,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
-        "ablate", "n_clus", "interpret", "groups",
+        "ablate", "n_clus", "interpret", "groups", "tfuse",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -817,6 +901,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        blive=None,
                        ablate: int = 0,
                        groups: int = 1,
+                       tfuse: bool = False,
                        clus_src=None,
                        clus_inst=None,
                        clus_fid=None,
@@ -850,6 +935,10 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     if not pack_vmem or mxu_test or ablate:
         groups = 1
     assert block % groups == 0
+    # The wide-fused t-loop needs the VMEM pack (lane-concat of K cluster
+    # reads) and block-invariant rays (no per-cluster instance transform).
+    if not pack_vmem or instanced or ablate or groups > 1:
+        tfuse = False
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5 if instanced else 1,
@@ -890,7 +979,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         functools.partial(
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
-            pack_vmem, mxu_test, kbatch, ablate, instanced, groups,
+            pack_vmem, mxu_test, kbatch, ablate, instanced, groups, tfuse,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),
