@@ -35,10 +35,33 @@ EPS_DET = 1e-12
 F32_MAX = 3.0e38  # python float: jnp scalars become captured consts in pallas
 
 
-def _pair_test(o, d, tmax, tri, c: int, t_min: float, floor=None):
+def _amask_valid(u, v, tri, c: int):
+    """Conservative alpha-mask test: bit (iu, iv) of the triangle's 8x8
+    barycentric bitmask (pack row 5: lanes [0:C] = bits 0..31, [C:2C] =
+    bits 32..63, bitcast i32 — scene/alphamask.py). Bit 0 means the alpha
+    channel is identically zero over the cell's bilinear footprint, so the
+    candidate can never be accepted by the host alpha gate (strict
+    u_a < alpha) — rejecting it here is exact. Inputs u, v may be
+    garbage on already-invalid lanes; the float clip keeps the shift in
+    range and the caller ANDs with the geometric validity."""
+    w0 = lax.bitcast_convert_type(tri[5:6, 0:c], jnp.int32)  # [1, C]
+    w1 = lax.bitcast_convert_type(tri[5:6, c : 2 * c], jnp.int32)
+    iu = jnp.clip(u * 8.0, 0.0, 7.0).astype(jnp.int32)
+    iv = jnp.clip(v * 8.0, 0.0, 7.0).astype(jnp.int32)
+    bit = iu * 8 + iv  # [B, C] in [0, 63]
+    sel = bit < 32
+    word = jnp.where(sel, w0, w1)
+    sh = jnp.where(sel, bit, bit - 32)
+    return (lax.shift_right_logical(word, sh) & 1) != 0
+
+
+def _pair_test(o, d, tmax, tri, c: int, t_min: float, floor=None,
+               amask: bool = False):
     """Shared math: o,d [B,3], tmax [B,1], tri [8, 3C] -> per-pair best
     (t, u, v, back, col, anyv) with t == F32_MAX on miss. `floor` [B,1]
-    optionally rejects hits at t <= floor (gated re-cast contract).
+    optionally rejects hits at t <= floor (gated re-cast contract);
+    `amask` additionally rejects candidates whose baked alpha bitmask
+    cell is certainly transparent (see _amask_valid).
 
     The six ray.(n|eu|ev) dot products are written as broadcast FMAs
     ([B,1] x [1,3C]) rather than [B,3]x[3,3C] matmuls: K=3 contractions
@@ -54,7 +77,7 @@ def _pair_test(o, d, tmax, tri, c: int, t_min: float, floor=None):
         + d[:, 1:2] * tri[1, :][None, :]
         + d[:, 2:3] * tri[2, :][None, :]
     )
-    return _pair_test_from_proj(ro, rd, tmax, tri, c, t_min, floor)
+    return _pair_test_from_proj(ro, rd, tmax, tri, c, t_min, floor, amask)
 
 
 def _pair_test_mxu(o3t, d3t, tmax, tri, c: int, t_min: float, floor=None):
@@ -72,7 +95,7 @@ def _pair_test_mxu(o3t, d3t, tmax, tri, c: int, t_min: float, floor=None):
 
 
 def _pair_test_from_proj(ro, rd, tmax, tri, c: int, t_min: float,
-                         floor=None):
+                         floor=None, amask: bool = False):
     consts = tri[3, :][None, :]  # [1, 3C]
     no, uo, vo = ro[:, :c], ro[:, c : 2 * c], ro[:, 2 * c :]
     nd, ud, vd = rd[:, :c], rd[:, c : 2 * c], rd[:, 2 * c :]
@@ -92,6 +115,8 @@ def _pair_test_from_proj(ro, rd, tmax, tri, c: int, t_min: float,
     )
     if floor is not None:
         valid = valid & (t > floor)
+    if amask:
+        valid = valid & _amask_valid(u, v, tri, c)
     tbig = jnp.where(valid, t, F32_MAX)
     bt = jnp.min(tbig, axis=1)  # [B]
     anyv = bt < F32_MAX

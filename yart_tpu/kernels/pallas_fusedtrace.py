@@ -76,6 +76,7 @@ SKEY_NOTHING = SKEY_HEAVY << 1
 from yart_tpu.kernels.pallas_cluster import (
     EPS_DET,
     F32_MAX,
+    _amask_valid,
     _pair_test,
     _pair_test_mxu,
 )
@@ -111,8 +112,11 @@ def _proj(o, d, tri, mxu: bool):
     return ro, rd
 
 
-def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
-    """Closest VALID t of the cluster per ray: [B,1], F32_MAX on miss."""
+def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor,
+            amask: bool = False):
+    """Closest VALID t of the cluster per ray: [B,1], F32_MAX on miss.
+    `amask` also rejects candidates whose baked alpha bitmask cell is
+    certainly transparent (pallas_cluster._amask_valid)."""
     consts = tri[3, :][None, :]
     no, uo, vo = ro[:, :c], ro[:, c : 2 * c], ro[:, 2 * c :]
     nd, ud, vd = rd[:, :c], rd[:, c : 2 * c], rd[:, 2 * c :]
@@ -126,6 +130,8 @@ def _t_only(ro, rd, tmax, tri, c: int, t_min: float, floor):
         & (v >= 0.0) & (u + v <= 1.0)
         & (t > t_min) & (t < tmax) & (t > floor)
     )
+    if amask:
+        valid = valid & _amask_valid(u, v, tri, c)
     return jnp.min(jnp.where(valid, t, F32_MAX), axis=1, keepdims=True)
 
 
@@ -206,7 +212,7 @@ def _t_only_fused(po, pd, t_best, floor, ms, pack_ref, c: int,
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
                   ablate: int, instanced: bool, groups: int,
-                  tfuse: bool,
+                  tfuse: bool, amask: bool,
                   *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
@@ -252,7 +258,7 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
             *scratch, ablate=ablate, inst=inst, groups=groups,
-            tfuse=tfuse,
+            tfuse=tfuse, amask=amask,
         )
 
 
@@ -260,7 +266,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 pack_vmem: bool, mxu_test: bool, kbatch: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
                 *scratch, ablate: int = 0, inst=None, groups: int = 1,
-                tfuse: bool = False):
+                tfuse: bool = False, amask: bool = False):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -341,7 +347,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             best_g, n_it, n_win = _trace_rows(
                 c, t_min, nee, n_clus, kbatch, pack_ref, inst,
                 o[rows], d[rows], t0[rows], floor[rows],
-                entry_keys(rows), gb,
+                entry_keys(rows), gb, amask=amask,
             )
             lanecol = lax.broadcasted_iota(jnp.int32, (gb, 1), 0)
             diag5 = jnp.where(lanecol == 0, n_it, 0).astype(jnp.float32)
@@ -414,7 +420,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             else:
                 uo, ud = po, pd
             ro, rd = _proj(uo, ud, tri, mxu_test)
-            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor, amask)
             upd = bt < t_best
             t_bits = jnp.where(
                 upd, lax.bitcast_convert_type(bt, jnp.int32), t_bits
@@ -451,7 +457,7 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 tri = pack_ref[cid]
                 uo, ud = po, pd
             ro, rd = _proj(uo, ud, tri, mxu_test)
-            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor, amask)
             bt = jnp.where(mk != KEY_DEAD, bt, F32_MAX)
             t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
             upd = bt < t_cur
@@ -526,11 +532,11 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         elif inst is not None:
             wo, wd = _cluster_rays(w)
             bt, bu, bv, bb, col, anyv = _pair_test(
-                wo, wd, t_best, tri, c, t_min, floor=floor
+                wo, wd, t_best, tri, c, t_min, floor=floor, amask=amask
             )
         else:
             bt, bu, bv, bb, col, anyv = _pair_test(
-                o, d, t_best, tri, c, t_min, floor=floor
+                o, d, t_best, tri, c, t_min, floor=floor, amask=amask
             )
         if inst is not None:
             # Global first-triangle id per INSTANCE-cluster from SMEM (the
@@ -598,7 +604,8 @@ def _make_cluster_rays(inst, o, d):
 
 
 def _winners_rows(c: int, t_min: float, pack_ref, inst, cluster_rays,
-                  o, d, t0, floor, cid_best, gb: int):
+                  o, d, t0, floor, cid_best, gb: int,
+                  amask: bool = False):
     """Winners epilogue over a row slice (VMEM-pack mode): re-test each
     DISTINCT winning cluster id with the full (u, v, backface, triangle)
     extraction and keep the exact closest hit. Returns (best [gb, 8],
@@ -629,14 +636,14 @@ def _winners_rows(c: int, t_min: float, pack_ref, inst, cluster_rays,
         if inst is not None:
             wo, wd = cluster_rays(w)
             bt, bu, bv, bb, col, anyv = _pair_test(
-                wo, wd, t_best, tri, c, t_min, floor=floor
+                wo, wd, t_best, tri, c, t_min, floor=floor, amask=amask
             )
             gid = lax.bitcast_convert_type(
                 cfid_ref[w] + col[:, None], jnp.float32
             )
         else:
             bt, bu, bv, bb, col, anyv = _pair_test(
-                o, d, t_best, tri, c, t_min, floor=floor
+                o, d, t_best, tri, c, t_min, floor=floor, amask=amask
             )
             fid = lax.bitcast_convert_type(tri[4:5, 0:1], jnp.int32)
             gid = lax.bitcast_convert_type(fid + col[:, None], jnp.float32)
@@ -661,7 +668,8 @@ def _winners_rows(c: int, t_min: float, pack_ref, inst, cluster_rays,
 
 
 def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
-                pack_ref, inst, o, d, t0, floor, key_row, gb: int):
+                pack_ref, inst, o, d, t0, floor, key_row, gb: int,
+                amask: bool = False):
     """Nearest-first t-loop + winners epilogue over a row slice (VMEM-pack
     mode). Same algorithm as the monolithic body below; factored so the
     grouped path can run it per sub-group. Returns (best [gb, 8], n_it,
@@ -704,7 +712,7 @@ def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
                 tri = pack_ref[cid]
                 uo, ud = o, d
             ro, rd = _proj(uo, ud, tri, False)
-            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor)
+            bt = _t_only(ro, rd, t_best, tri, c, t_min, floor, amask)
             bt = jnp.where(mk != KEY_DEAD, bt, F32_MAX)
             t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
             upd = bt < t_cur
@@ -719,7 +727,7 @@ def _trace_rows(c: int, t_min: float, nee: bool, n_clus: int, kbatch: int,
     )
     best, n_win = _winners_rows(
         c, t_min, pack_ref, inst, _cluster_rays, o, d, t0, floor,
-        cid_best, gb,
+        cid_best, gb, amask=amask,
     )
     return best, n_it, n_win
 
@@ -890,7 +898,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     jax.jit,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
-        "ablate", "n_clus", "interpret", "groups", "tfuse",
+        "ablate", "n_clus", "interpret", "groups", "tfuse", "amask",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -902,6 +910,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        ablate: int = 0,
                        groups: int = 1,
                        tfuse: bool = False,
+                       amask: bool = False,
                        clus_src=None,
                        clus_inst=None,
                        clus_fid=None,
@@ -939,6 +948,11 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     # reads) and block-invariant rays (no per-cluster instance transform).
     if not pack_vmem or instanced or ablate or groups > 1:
         tfuse = False
+    # The alpha-mask cull reads pack row 5; the MXU diag path and ablation
+    # modes bypass the full validity chain.
+    assert not (amask and (mxu_test or tfuse))
+    if ablate:
+        amask = False
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5 if instanced else 1,
@@ -980,6 +994,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
             pack_vmem, mxu_test, kbatch, ablate, instanced, groups, tfuse,
+            amask,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),

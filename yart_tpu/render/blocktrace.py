@@ -139,6 +139,44 @@ def _pad_sorted(scene, o, d, t_max_v, floor_v, block, meta=None,
     return o_s, d_s, t_s, floor_s, inv, blive
 
 
+def _fused_order(scene, meta, o, d, t_max_v, floor_v, block: int,
+                 t_min: float, interpret: bool):
+    """Presort + two-key sort ONCE: returns (order, inv, blive0) over the
+    block-padded lane space. Per-ray traversal results are independent of
+    the block composition (the pipeline's exactness invariant, asserted vs
+    the brute oracle), so a re-cast loop can reuse one cast's permutation
+    for every later cast — the sort is pure scheduling. blive0 ("this
+    block enters >= 1 cluster") stays valid as floors rise and lanes
+    retire: both only shrink each ray's entry set."""
+    from yart_tpu.kernels.pallas_fusedtrace import (
+        SKEY_NOTHING, presort_keys_pallas,
+    )
+
+    n = o.shape[0]
+    pad = (-n) % block
+    rays = jnp.concatenate(
+        [o, d, t_max_v[:, None], floor_v[:, None]], axis=1
+    )
+    if pad:
+        pad_rows = jnp.zeros((pad, 8), jnp.float32).at[:, 6].set(-1.0)
+        rays = jnp.concatenate([rays, pad_rows], axis=0)
+    np_ = n + pad
+    pk = presort_keys_pallas(
+        rays, scene.clus_box, _n_clus(meta), t_min,
+        block=block, interpret=interpret,
+    )
+    key = pk[:, 0].astype(jnp.uint32)
+    key2 = pk[:, 6].astype(jnp.uint32)
+    key_s, _, order = lax.sort(
+        (key, key2, jnp.arange(np_, dtype=jnp.int32)), num_keys=2
+    )
+    inv = jnp.argsort(order)
+    blive = jnp.any(
+        (key_s < SKEY_NOTHING).reshape(-1, block), axis=1
+    )
+    return order, inv, blive
+
+
 def intersect_blocktrace(
     scene,
     meta,
@@ -154,6 +192,8 @@ def intersect_blocktrace(
     fused: bool = True,
     kbatch: int = None,
     groups: int = None,
+    order_info=None,
+    amask: bool = False,
     interpret: bool = False,
 ):
     """Closest-hit (or NEE early-out) through the block-trace pipeline.
@@ -162,12 +202,18 @@ def intersect_blocktrace(
     formulation (plane/barycentric vs Moller-Trumbore cross products).
     `fused=True` (default) runs the whole traversal in one kernel
     invocation (kernels/pallas_fusedtrace.py); False keeps the round-based
-    select/test pipeline."""
+    select/test pipeline. `order_info` (fused only): a precomputed
+    (order, inv, blive0) from `_fused_order` — skips the presort kernel
+    and both million-key sorts (the gated re-cast loop reuses its first
+    cast's permutation; results are bit-identical because per-ray results
+    are order-free). Block liveness then combines blive0 with the
+    per-cast t_max > 0 lane mask."""
     from yart_tpu.render.intersect import Hit
 
     assert fused or not meta.n_instances, (
         "the round-based select/test pipeline has no instanced support"
     )
+    assert order_info is None or fused
     if block is None:
         block = TRACE_BLOCK
     if kbatch is None:
@@ -200,26 +246,38 @@ def intersect_blocktrace(
             pad_rows = jnp.zeros((pad, 8), jnp.float32).at[:, 6].set(-1.0)
             rays = jnp.concatenate([rays, pad_rows], axis=0)
         np_ = n + pad
-        pk = presort_keys_pallas(
-            rays, scene.clus_box, _n_clus(meta), t_min,
-            block=block, interpret=interpret,
-        )
-        key = pk[:, 0].astype(jnp.uint32)
-        key2 = pk[:, 6].astype(jnp.uint32)
-        # One two-key sort yields the permutation and the sorted primary
-        # keys (for the per-block live flags) — no key gather afterwards.
-        # The secondary key groups rays by their (3rd, 4th) visit slots,
-        # which shrinks heavy-block cluster unions on flagship scenes.
-        key_s, _, order = lax.sort(
-            (key, key2, jnp.arange(np_, dtype=jnp.int32)), num_keys=2
-        )
-        inv = jnp.argsort(order)
-        rays_s = rays[order]
-        from yart_tpu.kernels.pallas_fusedtrace import SKEY_NOTHING
+        if order_info is not None:
+            order, inv, blive0 = order_info
+            rays_s = rays[order]
+            # Per-cast liveness from the ray matrix itself (retired lanes
+            # carry t_max <= 0), intersected with the presort's "enters
+            # anything" flag from the first cast.
+            blive = (
+                jnp.any((rays_s[:, 6] > 0.0).reshape(-1, block), axis=1)
+                & blive0
+            ).astype(jnp.int32)
+        else:
+            pk = presort_keys_pallas(
+                rays, scene.clus_box, _n_clus(meta), t_min,
+                block=block, interpret=interpret,
+            )
+            key = pk[:, 0].astype(jnp.uint32)
+            key2 = pk[:, 6].astype(jnp.uint32)
+            # One two-key sort yields the permutation and the sorted
+            # primary keys (for the per-block live flags) — no key gather
+            # afterwards. The secondary key groups rays by their (3rd,
+            # 4th) visit slots, which shrinks heavy-block cluster unions
+            # on flagship scenes.
+            key_s, _, order = lax.sort(
+                (key, key2, jnp.arange(np_, dtype=jnp.int32)), num_keys=2
+            )
+            inv = jnp.argsort(order)
+            rays_s = rays[order]
+            from yart_tpu.kernels.pallas_fusedtrace import SKEY_NOTHING
 
-        blive = jnp.any(
-            (key_s < SKEY_NOTHING).reshape(-1, block), axis=1
-        ).astype(jnp.int32)
+            blive = jnp.any(
+                (key_s < SKEY_NOTHING).reshape(-1, block), axis=1
+            ).astype(jnp.int32)
 
         inst_kw = {}
         if meta.n_instances:
@@ -231,7 +289,7 @@ def intersect_blocktrace(
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
             nee=nee, kbatch=kbatch, groups=groups, blive=blive,
-            interpret=interpret, **inst_kw,
+            amask=amask, interpret=interpret, **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
@@ -348,7 +406,10 @@ def _hit_gates(scene, meta, h, d, nee, alpha_seed):
                 ^ h.tri.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
             )
         )
-        alpha_ok = (alpha >= 1.0) | (u_a <= alpha)
+        # Strict compare: alpha == 0 then NEVER accepts (even the 2^-32
+        # u_a == 0.0 draw), which is what makes the in-kernel alpha-mask
+        # cull of certainly-transparent cells exact (scene/alphamask.py).
+        alpha_ok = (alpha >= 1.0) | (u_a < alpha)
 
     transparent = jnp.zeros((n,), bool)
     factor = jnp.ones((n, 3), jnp.float32)
@@ -409,7 +470,15 @@ def intersect_blocktrace_gated(
     finds the closest hit past a per-lane floor; gate-rejected lanes
     advance the floor to that hit and re-cast. The alpha stream is the
     per-(lane, tri) hash shared with the stack paths, so decisions agree
-    across traversal strategies."""
+    across traversal strategies.
+
+    The presort + two-key sort + inverse permutation run ONCE (cast 0's
+    `_fused_order`) and every cast reuses them: the sort is pure
+    scheduling (per-ray results are order-free), and per-cast block
+    liveness comes from the carried t_max lanes, so later casts — which
+    touch only the shrinking pass-through set — cost one row gather plus
+    the fused kernel over the few still-live blocks instead of the full
+    pipeline. Bit-identical to re-sorting every cast."""
     from yart_tpu.render.intersect import Hit
 
     n = o.shape[0]
@@ -428,9 +497,18 @@ def intersect_blocktrace_gated(
         jnp.zeros((n,), bool), atten0, jnp.zeros((n,), bool),
     )
 
+    order_info = None
+    if fused:
+        order_info = _fused_order(
+            scene, meta, o, d, t_max_v, jnp.zeros((n,), jnp.float32),
+            block if block is not None else TRACE_BLOCK, t_min, interpret,
+        )
+
     def cond(st):
         best, act, floor, cast = st
         return jnp.any(act) & (cast < max_casts)
+
+    amask = bool(meta.any_alpha) and fused
 
     def body(st):
         best, act, floor, cast = st
@@ -438,7 +516,7 @@ def intersect_blocktrace_gated(
         h = intersect_blocktrace(
             scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
             block=block, k=k, fused=fused, kbatch=kbatch, groups=groups,
-            interpret=interpret,
+            order_info=order_info, amask=amask, interpret=interpret,
         )
         hit = h.mask & act
         alpha_ok, transparent, factor = _hit_gates(

@@ -163,7 +163,9 @@ def _closest_in_leaf(
                 ^ tri_ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
             )
         )
-        valid = valid & ((alpha >= 1.0) | (u_a <= alpha))
+        # Strict <: alpha == 0 never accepts, matching the in-kernel
+        # alpha-mask cull's exactness contract (scene/alphamask.py).
+        valid = valid & ((alpha >= 1.0) | (u_a < alpha))
 
     if nee and meta is not None and meta.any_transparent:
         mrow2 = onehot_matmul(
@@ -320,7 +322,9 @@ def intersect_brute(
                     ^ tri_ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
                 )
             )
-            valid = valid & ((alpha >= 1.0) | (u_a <= alpha))
+            # Strict <: alpha == 0 never accepts, matching the in-kernel
+            # alpha-mask cull's exactness contract (scene/alphamask.py).
+            valid = valid & ((alpha >= 1.0) | (u_a < alpha))
 
         if nee and meta.any_transparent:
             thin = scene.materials.thin[mats]

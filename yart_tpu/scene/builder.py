@@ -507,6 +507,23 @@ class SceneBuilder:
         coarse = build_coarse(cut)
         cut = coarse.cut
         clus_pack = woop_rows(v0, v1, v2, cut, c_size)
+        if any(m.has_alpha for m in self._materials):
+            # Conservative alpha bitmasks in pack row 5: the gated
+            # traversal culls certainly-transparent candidates in-kernel
+            # (scene/alphamask.py), collapsing the re-cast tail.
+            from yart_tpu.scene.alphamask import (
+                bake_tri_masks, write_mask_rows,
+            )
+
+            masks = bake_tri_masks(
+                uvs[tri_v], tri_mat,
+                np.asarray([m.has_alpha for m in self._materials], bool),
+                np.asarray(
+                    [m.tex_base for m in self._materials], np.int64
+                ),
+                self.textures_rgba,
+            )
+            write_mask_rows(clus_pack, masks, cut.first, cut.count, c_size)
         # Block-trace cluster boxes, SoA lane-padded (render/blocktrace.py).
         n_clus = int(cut.first.shape[0])
         n_clus_pad = max(128, -(-n_clus // 512) * 512 if n_clus > 128 else 128)
@@ -670,6 +687,11 @@ class SceneBuilder:
         for pr in self._protos:
             sb = SceneBuilder()
             sb._materials = self._materials  # shared (no copy)
+            # Shared so the proto compile can bake alpha bitmasks into its
+            # object-space pack (scene/alphamask.py); the proto's own
+            # texture stacks are transient (the instanced scene rebuilds
+            # them once below).
+            sb.textures_rgba = self.textures_rgba
             sb.add_mesh(
                 pr["positions"], pr["tris"], pr["tri_mat"],
                 normals=pr["normals"], uvs=pr["uvs"],
