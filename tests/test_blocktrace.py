@@ -222,3 +222,38 @@ def test_gated_nee_transparent_matches_stack_path():
         np.asarray(hr.attenuation)[un],
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("rekey,minleft", [(1, 1), (2, 8), (4, 16)])
+def test_rekey_bit_exact(scene_rays, rekey, minleft):
+    """The per-ray re-keyed t-loop (round 4: periodic drop of queue
+    clusters no entering ray can still improve) is bit-identical to the
+    plain block-global loop — pruned clusters provably cannot beat any
+    ray's current best (kernels/pallas_fusedtrace.py rekey)."""
+    scene, meta, o, d = scene_rays
+    h0 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, rekey=0, interpret=True
+    )
+    h1 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, rekey=rekey, minleft=minleft,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_array_equal(np.asarray(h0.u), np.asarray(h1.u))
+    np.testing.assert_array_equal(
+        np.asarray(h0.back_side), np.asarray(h1.back_side)
+    )
+
+
+def test_rekey_nee_bit_exact(scene_rays):
+    scene, meta, o, d = scene_rays
+    h0 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, nee=True, rekey=0, interpret=True
+    )
+    h1 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, nee=True, rekey=2, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h0.mask), np.asarray(h1.mask)
+    )

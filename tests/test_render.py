@@ -194,3 +194,36 @@ def test_env_rotation():
     # The lighting moved: images differ but both stay valid renders.
     assert not np.allclose(a, b, atol=1e-3)
     assert np.isfinite(b).all() and b.mean() > 0.01
+
+
+def test_chunk_pipeline_and_callbacks(cornell_scene):
+    """The pipelined chunk loop (round 4): identical image for any
+    in-flight depth and chunk size, with per-chunk callbacks firing in
+    order and the lazy partial preview well-formed."""
+    import dataclasses
+
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=4, max_depth=3, tonemap="none",
+                       estimator="mean", first_wave_samples=2,
+                       max_wave_samples=2)
+    cam = cornell_cam(16)
+    ref = Renderer(scene, meta, cam, cfg).render()
+
+    for inflight in (1, 3):
+        cfg_i = dataclasses.replace(cfg, chunk_inflight=inflight)
+        chunks = []
+
+        def on_chunk(cd, merged_hdr):
+            chunks.append((cd.wave, cd.chunk))
+            if cd.chunk == 0:
+                img = merged_hdr()
+                assert img.shape == (16, 16, 3)
+                assert np.isfinite(img).all()
+
+        res = Renderer(scene, meta, cam, cfg_i).render(
+            on_chunk=on_chunk, chunk_pixels=64,  # 16*16/64 = 4 chunks
+        )
+        np.testing.assert_array_equal(res.hdr, ref.hdr)
+        assert res.samples_taken == ref.samples_taken
+        # 2 waves x 4 chunks, in order within each wave
+        assert chunks == [(w, c) for w in range(2) for c in range(4)]

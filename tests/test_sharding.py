@@ -90,3 +90,59 @@ def test_graft_entry_dryrun():
     out, rays = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+def test_material_grads_mesh_invariant():
+    """The DIFFERENTIABLE path under a device mesh (round 4): grads of a
+    lane-sharded render w.r.t. the replicated material table are
+    all-reduced by an XLA-inserted psum (the BASELINE.json north star:
+    'parameter gradients all-reduced via psum overlapped with backward').
+    Loss and grads must agree across mesh shapes; exact bit-equality is
+    not guaranteed because the cross-shard psum reassociates the f32 lane
+    reduction, hence tight allclose."""
+    from yart_tpu.parallel.sharding import replicate
+
+    scene, meta = cornell_box(extra_materials=True).compile()
+    size = (16, 16)
+    cam = build_camera(
+        CameraConfig(image_size=size, focal_length=28.0,
+                     position=(0, 1.0, 3.4), forward=(0, 0, -1))
+    )
+    cfg = RenderConfig(samples=4, max_depth=4, rr_start_depth=99)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    sidx = jnp.zeros_like(px).astype(jnp.uint32)
+
+    def loss(bc, px, py, sidx):
+        s = scene._replace(
+            materials=scene.materials._replace(base_color=bc)
+        )
+        rad, _ = render_wave(
+            s, meta, cam, sampler, cfg, px, py, sidx, differentiable=True
+        )
+        return jnp.mean(rad)
+
+    bc = scene.materials.base_color
+    vg = jax.value_and_grad(loss)
+    l_ref, g_ref = jax.jit(vg)(bc, px, py, sidx)
+    l_ref, g_ref = float(l_ref), np.asarray(g_ref)
+    assert np.isfinite(g_ref).all() and np.abs(g_ref).max() > 0
+
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        pxs, pys, sidxs = device_put_lanes(mesh, px, py, sidx)
+        bcr = jax.device_put(bc, replicate(mesh))
+        fn = jax.jit(
+            vg,
+            in_shardings=(replicate(mesh),) + (shard_lanes(mesh),) * 3,
+        )
+        l, g = fn(bcr, pxs, pys, sidxs)
+        np.testing.assert_allclose(float(l), l_ref, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g), g_ref, rtol=2e-5, atol=1e-7
+        )
+        # The grad of a replicated parameter must come back replicated
+        # (the psum happened inside the compiled graph).
+        assert g.sharding.is_fully_replicated

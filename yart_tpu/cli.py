@@ -257,6 +257,37 @@ def main(argv=None) -> int:
         if server is not None:
             server.update(preview, wd)
 
+    # Within-wave progress (the reference blits finished tiles live,
+    # frontend/metal-sdl2/main.cpp:205-217): throttled partial previews to
+    # the live view + preview PNG, so flagship waves (minutes each) show
+    # motion. Only wired when someone is watching.
+    on_chunk = None
+    if server is not None or args.preview:
+        from yart_tpu.ops.tonemap import tonemap as _tonemap
+
+        last = [0.0]
+
+        def on_chunk(cd, merged_hdr):
+            import time as _time
+
+            if cd.chunk + 1 >= cd.n_chunks:  # on_wave covers the last chunk
+                return
+            now = _time.monotonic()
+            if now - last[0] < 2.0:
+                return
+            last[0] = now
+            import jax.numpy as _jnp
+            import numpy as _npx
+
+            img = _npx.asarray(
+                _tonemap(_jnp.asarray(merged_hdr()), cfg.tonemap,
+                         cfg.agx_look)
+            )
+            if server is not None:
+                server.update(img)
+            if args.preview:
+                write_png(args.preview, img, gamma_encode=False)
+
     if args.profile:
         import contextlib
 
@@ -268,7 +299,9 @@ def main(argv=None) -> int:
 
         profile_cm = contextlib.nullcontext()
     with profile_cm:
-        res = r.render(on_wave=on_wave, checkpoint=args.checkpoint)
+        res = r.render(
+            on_wave=on_wave, on_chunk=on_chunk, checkpoint=args.checkpoint
+        )
     if server is not None:
         server.update(res.display, done=True)
 

@@ -56,6 +56,10 @@ class RenderConfig:
     rr_start_depth: int = 2  # roulette from depth 2 (mis-integrator.cpp:98)
     # TPU execution knobs (no reference analog):
     lane_chunk: Optional[int] = None  # rays per device dispatch; None = whole wave
+    # Pixel chunks kept in flight by the wave loop: jax dispatch is async,
+    # so >= 2 overlaps chunk k+1's compute with chunk k's host transfer
+    # (the per-dispatch latency is ~26 ms on the axon runtime).
+    chunk_inflight: int = 2
     seed: int = 0
     # Fused shade path: "off" = the classic jnp bounce body; "xla" = the
     # shared component-form shade math (kernels/shade_math.py) assembled by

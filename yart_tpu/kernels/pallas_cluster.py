@@ -42,13 +42,16 @@ def _amask_valid(u, v, tri, c: int):
     channel is identically zero over the cell's bilinear footprint, so the
     candidate can never be accepted by the host alpha gate (strict
     u_a < alpha) — rejecting it here is exact. Inputs u, v may be
-    garbage on already-invalid lanes; the float clip keeps the shift in
-    range and the caller ANDs with the geometric validity."""
+    garbage (including NaN, e.g. t = 0/0 on zero-padding columns) on
+    already-invalid lanes — a NaN passes the float clip unchanged and
+    its int conversion is implementation-defined, so the shift amount is
+    re-clamped in the INTEGER domain to stay architecturally defined;
+    the caller ANDs the result with the geometric validity."""
     w0 = lax.bitcast_convert_type(tri[5:6, 0:c], jnp.int32)  # [1, C]
     w1 = lax.bitcast_convert_type(tri[5:6, c : 2 * c], jnp.int32)
     iu = jnp.clip(u * 8.0, 0.0, 7.0).astype(jnp.int32)
     iv = jnp.clip(v * 8.0, 0.0, 7.0).astype(jnp.int32)
-    bit = iu * 8 + iv  # [B, C] in [0, 63]
+    bit = jnp.clip(iu * 8 + iv, 0, 63)  # [B, C]; NaN-proof
     sel = bit < 32
     word = jnp.where(sel, w0, w1)
     sh = jnp.where(sel, bit, bit - 32)

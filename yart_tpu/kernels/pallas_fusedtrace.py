@@ -212,7 +212,7 @@ def _t_only_fused(po, pd, t_best, floor, ms, pack_ref, c: int,
 def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
                   ablate: int, instanced: bool, groups: int,
-                  tfuse: bool, amask: bool,
+                  tfuse: bool, amask: bool, rekey: int, minleft: int,
                   *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
@@ -258,7 +258,7 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
             c, t_min, nee, n_clus, pack_vmem, mxu_test, kbatch,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
             *scratch, ablate=ablate, inst=inst, groups=groups,
-            tfuse=tfuse, amask=amask,
+            tfuse=tfuse, amask=amask, rekey=rekey, minleft=minleft,
         )
 
 
@@ -266,7 +266,8 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 pack_vmem: bool, mxu_test: bool, kbatch: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
                 *scratch, ablate: int = 0, inst=None, groups: int = 1,
-                tfuse: bool = False, amask: bool = False):
+                tfuse: bool = False, amask: bool = False,
+                rekey: int = 0, minleft: int = 8):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -306,12 +307,20 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 jnp.concatenate([dx, dy, dz], axis=1),
             )
 
+    if rekey:
+        emask_ref, *scratch = scratch
+
     # --- stage 1: sweep all cluster boxes ---
     ent, ext = _sweep_bounds(o, d, boxes_ref, cpad, use_dots=False)
     # Margins in the safe (over-inclusive) direction; entries are >= 0.
     e = jnp.maximum(ent - (jnp.abs(ent) * 1e-6 + 1e-7), t_min)
     xt = ext + (jnp.abs(ext) * 1e-6 + 1e-7)
     hit = (xt >= e) & (e < t0) & (xt > floor)  # [B, cpad]
+    if rekey:
+        # Per-(ray, cluster) masked entries cached for the re-key drop
+        # test: a re-key is then ONE compare + any-reduce against the
+        # rays' current t instead of a full box re-sweep.
+        emask_ref[...] = jnp.where(hit, e, F32_MAX)
     cid_iota = lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
 
     def entry_keys(rows):
@@ -467,9 +476,72 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             cid_best = jnp.where(upd, mk & ID_MASK, cid_best)
         return (i + 1, cur, row, t_bits, cid_best)
 
-    n_it, _, _, t_bits_f, cid_best = lax.while_loop(
-        cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
-    )
+    if rekey:
+        # --- per-ray re-keyed t-loop (round 4) ---
+        # The plain loop's termination is BLOCK-global: cluster m stays
+        # alive while ANY ray's current t exceeds m's block-min entry,
+        # even rays that never enter m's box — so one miss ray (t pinned
+        # at t_max) forces the block to test its whole entered union
+        # (~75 distinct clusters on incoherent heavy blocks). The
+        # refinement: every `rekey` inner iterations, re-sweep the boxes
+        # and DROP queue entries that no ray both enters and can still
+        # improve (e_{r,m} < t_r current). Exact: a dropped cluster's
+        # every hit for ray r has t >= e_{r,m} >= t_r (conservative
+        # entry margin), so it cannot beat any current best. Keys stay
+        # the ORIGINAL packing (entries are static), so "already
+        # processed" is exactly "key < next-unprocessed key" and a
+        # re-key can never resurrect a tested cluster. Measured
+        # (tools/diag_rekey.py, 132k-tri field): heavy-block cluster
+        # visits 83.9k -> 27-30k incoherent, 8.4k -> 6.8-7.7k coherent,
+        # at ~2.6 re-sweeps per heavy block.
+        def inner_cond(st):
+            j, m, row, t_bits, cid_best = st
+            return (j < rekey) & (m != KEY_DEAD) & improvable(
+                m, t_bits, cid_best
+            )
+
+        def outer_body(st):
+            i, m, row, t_bits, cid_best = st
+            j, m2, row2, t_bits, cid_best = lax.while_loop(
+                inner_cond, body, (jnp.int32(0), m, row, t_bits, cid_best)
+            )
+
+            # Re-sweep ONLY when the queue continues and is still long
+            # (>= 2 kbatch groups left): a short tail is cheaper to just
+            # finish, and the final outer iteration must not pay a dead
+            # sweep. The 0/1-trip while is the Mosaic-friendly "skip this
+            # compute" construct (a where would evaluate the sweep
+            # unconditionally).
+            def rk_body(st2):
+                _, _ = st2
+                t_cur = lax.bitcast_convert_type(t_bits, jnp.float32)
+                if nee:
+                    # NEE lanes with any hit are done: remove their vote
+                    # (entries are >= t_min > 0, so 0 excludes the ray).
+                    t_cur2 = jnp.where(cid_best >= 0, 0.0, t_cur)
+                else:
+                    t_cur2 = t_cur
+                can = jnp.any(
+                    emask_ref[...] < t_cur2, axis=0, keepdims=True
+                )  # [1, cpad]
+                return (jnp.asarray(False), jnp.where(
+                    can & (key_row >= m2), key_row, KEY_DEAD
+                ))
+
+            n_left = jnp.sum((row2 != KEY_DEAD).astype(jnp.int32))
+            do_rk = (m2 != KEY_DEAD) & (n_left >= minleft)
+            _, newrow = lax.while_loop(
+                lambda s: s[0], rk_body, (do_rk, row2)
+            )
+            return (i + j, jnp.min(newrow), newrow, t_bits, cid_best)
+
+        n_it, _, _, t_bits_f, cid_best = lax.while_loop(
+            cond, outer_body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
+        )
+    else:
+        n_it, _, _, t_bits_f, cid_best = lax.while_loop(
+            cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
+        )
 
     if ablate == 2:  # sweep + t-loop, no winners epilogue
         out_ref[0] = jnp.concatenate(
@@ -899,6 +971,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
         "ablate", "n_clus", "interpret", "groups", "tfuse", "amask",
+        "rekey", "minleft",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -911,6 +984,8 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        groups: int = 1,
                        tfuse: bool = False,
                        amask: bool = False,
+                       rekey: int = 0,
+                       minleft: int = 8,
                        clus_src=None,
                        clus_inst=None,
                        clus_fid=None,
@@ -948,6 +1023,11 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
     # reads) and block-invariant rays (no per-cluster instance transform).
     if not pack_vmem or instanced or ablate or groups > 1:
         tfuse = False
+    # Per-ray re-keying lives in the VMEM/kbatch t-loop only (the DMA
+    # path's double-buffered prefetch assumes the static key order, and
+    # the grouped/tfuse/ablate variants keep their measured baselines).
+    if not pack_vmem or mxu_test or ablate or groups > 1 or tfuse:
+        rekey = 0
     # The alpha-mask cull reads pack row 5; the MXU diag path and ablation
     # modes bypass the full validity chain.
     assert not (amask and (mxu_test or tfuse))
@@ -976,12 +1056,17 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
         out_specs=pl.BlockSpec(
             (1, block, 8), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[]
-        if pack_vmem
-        else [
-            pltpu.VMEM((2,) + clus_pack.shape[1:], jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((block, cpad), jnp.float32)] if rekey else []
+        )
+        + (
+            []
+            if pack_vmem
+            else [
+                pltpu.VMEM((2,) + clus_pack.shape[1:], jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
     )
     scalars = (blive.astype(jnp.int32),)
     if instanced:
@@ -994,7 +1079,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
             pack_vmem, mxu_test, kbatch, ablate, instanced, groups, tfuse,
-            amask,
+            amask, rekey, minleft,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),

@@ -54,6 +54,15 @@ MAX_CLUSTERS = 1 << ID_BITS  # bigger scenes use render/bintrace.py
 TRACE_BLOCK = int(os.environ.get("YART_TRACE_BLOCK", "128"))
 TRACE_KBATCH = int(os.environ.get("YART_TRACE_KBATCH", "4"))
 TRACE_GROUPS = int(os.environ.get("YART_TRACE_GROUPS", "1"))
+# Per-ray re-key period (kernels/pallas_fusedtrace.py `rekey`): every
+# `rekey` t-loop iterations (kbatch clusters each), queue clusters no
+# entering ray can still improve are dropped. Round-4 chip sweep
+# (tools/diag_rekey_chip.py): incoherent 4.07 -> 5.37 Mrays/s (+32%, now
+# past the 4-core reference host's 5.11), coherent 9.55 -> 9.20 (-4%),
+# atrium flagship wave 2.12 -> 2.20 (+3.6%). minleft gates re-keying to
+# queues with >= that many clusters left (protects light blocks).
+TRACE_REKEY = int(os.environ.get("YART_TRACE_REKEY", "2"))
+TRACE_MINLEFT = int(os.environ.get("YART_TRACE_MINLEFT", "8"))
 
 
 def _n_clus(meta) -> int:
@@ -192,6 +201,8 @@ def intersect_blocktrace(
     fused: bool = True,
     kbatch: int = None,
     groups: int = None,
+    rekey: int = None,
+    minleft: int = None,
     order_info=None,
     amask: bool = False,
     interpret: bool = False,
@@ -213,6 +224,10 @@ def intersect_blocktrace(
     assert fused or not meta.n_instances, (
         "the round-based select/test pipeline has no instanced support"
     )
+    assert fused or not amask, (
+        "the alpha-mask cull is only wired into the fused kernel; "
+        "amask=True with fused=False would silently not cull"
+    )
     assert order_info is None or fused
     if block is None:
         block = TRACE_BLOCK
@@ -220,6 +235,10 @@ def intersect_blocktrace(
         kbatch = TRACE_KBATCH
     if groups is None:
         groups = TRACE_GROUPS
+    if rekey is None:
+        rekey = TRACE_REKEY
+    if minleft is None:
+        minleft = TRACE_MINLEFT
     n = o.shape[0]
     c = meta.cluster_size
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -288,8 +307,9 @@ def intersect_blocktrace(
             )
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
-            nee=nee, kbatch=kbatch, groups=groups, blive=blive,
-            amask=amask, interpret=interpret, **inst_kw,
+            nee=nee, kbatch=kbatch, groups=groups, rekey=rekey,
+            minleft=minleft, blive=blive, amask=amask,
+            interpret=interpret, **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(
@@ -463,6 +483,8 @@ def intersect_blocktrace_gated(
     fused: bool = True,
     kbatch: int = None,
     groups: int = None,
+    rekey: int = None,
+    minleft: int = None,
     interpret: bool = False,
 ):
     """Block-trace with per-hit gates: stochastic alpha and (for NEE)
@@ -516,7 +538,8 @@ def intersect_blocktrace_gated(
         h = intersect_blocktrace(
             scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
             block=block, k=k, fused=fused, kbatch=kbatch, groups=groups,
-            order_info=order_info, amask=amask, interpret=interpret,
+            rekey=rekey, minleft=minleft, order_info=order_info,
+            amask=amask, interpret=interpret,
         )
         hit = h.mask & act
         alpha_ok, transparent, factor = _hit_gates(

@@ -46,6 +46,24 @@ class WaveData:
 
 
 @dataclasses.dataclass
+class ChunkData:
+    """Within-wave progress payload — the tile-complete analog
+    (src/core/renderer.hpp:45-50, src/cpu/tile-renderer.hpp:243-262).
+    A chunk is the jit-shaped pixel batch the wave loop dispatches; at
+    flagship sizes a wave is minutes, so per-chunk callbacks are what
+    makes progress visible."""
+
+    wave: int
+    wave_samples: int
+    chunk: int
+    n_chunks: int
+    lanes_done: int
+    lanes_total: int
+    rays: float
+    time: float
+
+
+@dataclasses.dataclass
 class RenderResult:
     """Final render state (src/core/renderer.hpp:22-28)."""
 
@@ -166,6 +184,7 @@ class Renderer:
     def render(
         self,
         on_wave: Optional[Callable[[WaveData, np.ndarray], None]] = None,
+        on_chunk: Optional[Callable[[ChunkData, Callable], None]] = None,
         chunk_pixels: Optional[int] = None,
         checkpoint: Optional[str] = None,
         max_waves: Optional[int] = None,
@@ -175,7 +194,17 @@ class Renderer:
         accumulator + samples-taken count fully determine renderer state
         because the sampler is stateless given the sample offset (SURVEY.md
         §5; reference waves already merge onto a partial image,
-        tile-renderer.hpp:220-232)."""
+        tile-renderer.hpp:220-232).
+
+        The chunk loop is PIPELINED: jax dispatch is async, so up to
+        `cfg.chunk_inflight` chunks stay in flight and chunk k+1 is
+        dispatched before blocking on chunk k's transfer — multi-chunk
+        waves cost compute, not compute + per-chunk dispatch latency
+        (~26 ms on the axon runtime). `on_chunk(cd, merged_hdr)` fires as
+        each chunk completes (the reference's tile-complete callback,
+        tile-renderer.hpp:243-262); `merged_hdr()` lazily builds the
+        current partial [H, W, 3] HDR image (wave-merged over completed
+        lanes, previous waves elsewhere) for live previews."""
         cfg = self.cfg
         h, w = self.height, self.width
         n_pix = h * w
@@ -216,6 +245,7 @@ class Renderer:
                 done = 0
         if max_waves is not None:
             remaining_plan = remaining_plan[:max_waves]
+        aborted = False
         for wave_i, k in enumerate(remaining_plan):
             if should_abort is not None and should_abort():
                 # Wave-granular cancellation (the reference polls an abort
@@ -227,7 +257,49 @@ class Renderer:
             # collective, SURVEY.md §2.6), so numpy assembly works on every
             # host under jax.distributed.
             wave_img = np.zeros((n_pix, 3), np.float32)
-            for start in range(0, n_pix, chunk):
+            n_chunks = -(-n_pix // chunk)
+            inflight = []  # [(chunk_idx, start, end, est, rays)]
+            lanes_done = 0
+
+            def merged_hdr():
+                # Partial merged image for previews: wave-merged where this
+                # wave has landed, previous-waves HDR elsewhere.
+                cur = np.asarray(hdr)
+                if samples_taken == 0:
+                    out = wave_img.copy()
+                else:
+                    wc = samples_taken / (samples_taken + k)
+                    wn = k / (samples_taken + k)
+                    out = cur * wc + wave_img * wn
+                out[lanes_done:] = cur[lanes_done:]
+                return out.reshape(h, w, 3)
+
+            def drain_one():
+                nonlocal total_rays, lanes_done
+                ci, start, end, est, rays = inflight.pop(0)
+                wave_img[start:end] = np.asarray(est)[: end - start]
+                total_rays += float(rays)
+                lanes_done = end
+                if on_chunk is not None:
+                    on_chunk(
+                        ChunkData(
+                            wave=wave_i, wave_samples=k, chunk=ci,
+                            n_chunks=n_chunks, lanes_done=end,
+                            lanes_total=n_pix, rays=total_rays,
+                            time=time.time() - t0,
+                        ),
+                        merged_hdr,
+                    )
+
+            keep = max(1, int(cfg.chunk_inflight))
+            for ci, start in enumerate(range(0, n_pix, chunk)):
+                if ci > 0 and should_abort is not None and should_abort():
+                    # Per-chunk abort poll from the second chunk on (the
+                    # reference polls per tile but finishes the tile in
+                    # hand, tile-renderer.hpp:182-185); the partial wave
+                    # is DISCARDED — only whole waves merge.
+                    aborted = True
+                    break
                 end = min(start + chunk, n_pix)
                 if end - start < chunk:  # pad to static shape
                     sl = np.arange(start, start + chunk) % n_pix
@@ -246,8 +318,13 @@ class Renderer:
                     px_c, py_c = device_put_lanes(self.mesh, px_c, py_c)
                     base = jax.device_put(base, replicate(self.mesh))
                 est, rays = fn(self.scene, px_c, py_c, base)
-                wave_img[start:end] = np.asarray(est)[: end - start]
-                total_rays += float(rays)
+                inflight.append((ci, start, end, est, rays))
+                if len(inflight) >= keep:
+                    drain_one()
+            while inflight:
+                drain_one()
+            if aborted:
+                break
             wave_img = jnp.asarray(wave_img)
 
             # Weighted running merge (tile-renderer.hpp:220-232).

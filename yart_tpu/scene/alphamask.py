@@ -132,6 +132,17 @@ def bake_tri_masks(uv: np.ndarray, tri_mat: np.ndarray,
         c11 = cu[:, 1:, 1:]
         lo = np.minimum(np.minimum(c00, c10), np.minimum(c01, c11))
         hi = np.maximum(np.maximum(c00, c10), np.maximum(c01, c11))
+        # The bake footprint uses exact float64 cell-corner uvs, but the
+        # kernels and the host gate interpolate uv in f32: a hit uv can
+        # round a few ulps OUTSIDE the exact span (e.g. up to exactly 1.0
+        # where frac() wraps to texel 0, which the exact bbox never
+        # covered). Expand in the safe (over-inclusive) direction by a
+        # generous f32-error margin so every f32-reachable sample is
+        # inside the footprint; over-inclusion only keeps extra bits ON,
+        # which preserves exactness of the cull.
+        eps = np.maximum(np.abs(lo), np.abs(hi)) * 4e-6 + 1e-6
+        lo = lo - eps
+        hi = hi + eps
         ra0, rb0, ra1, rb1, ruse1 = _axis_segments(
             lo[..., 1], hi[..., 1], h
         )
