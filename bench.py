@@ -38,13 +38,19 @@ DETAIL = os.path.join(ROOT, "BENCH_DETAIL.json")
 R1_SEED = {"bigscene_closest_hit": 0.51, "cornell_mis": 13.44}
 # The reference's own throughput on THIS machine (4-core Xeon 2.1 GHz),
 # measured with `tools/oracle/build.sh` + `oracle bench` (132k-tri
-# sphere-field closest hit) and `oracle benchmis 8 256 4` (full cornell MIS
-# render, dynamic row-band queue) on identical workloads, all
-# hardware_concurrency threads — the reference's production parallelism
-# (tile-renderer.hpp:37). benchmis uses the oracle's Mean-estimator patch,
-# which if anything flatters the reference (GMoN sorts buckets per pixel).
+# sphere-field closest hit), `oracle benchmis 8 256 4` (full cornell MIS
+# render) and `oracle benchglb` (the GLB-exported atrium scenes rendered
+# by the reference's own integrator — see io/glb_export.py +
+# tools/oracle/glb_bench.hpp) on identical workloads, all
+# hardware_concurrency threads with the fairest measured band size
+# (ORACLE_BAND=4 dynamic row bands — the reference's own tile-queue
+# parallelism, tile-renderer.hpp:37). benchmis/benchglb use the oracle's
+# Mean-estimator patch, which if anything flatters the reference (GMoN
+# sorts buckets per pixel). 1-thread numbers: cornell 1.48, atrium 0.26,
+# atrium-ivy 0.26 (BASELINE.md round-4 section).
 REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39,
-             "cornell_mis": 4.08}
+             "cornell_mis": 4.31, "atrium_wave": 1.02,
+             "atrium_ivy_wave": 0.75}
 
 
 def bench_bigscene(results):
@@ -335,6 +341,65 @@ def bench_atrium(results):
     results["atrium_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
 
 
+def bench_atrium_ivy(results):
+    """The REAL flagship config: atrium WITH alpha-tested ivy — the
+    reference's headline scene is sponza-new-ivy.glb (src/main.cpp:79)
+    and alpha cutouts are part of the workload (stochastic alpha,
+    ray-integrator.cpp:208-219). Routes traversal through the gated
+    re-cast loop + in-kernel alpha-mask cull (scene/alphamask.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+    from yart_tpu.scene.showcase import atrium
+
+    size = (256, 256)
+    spp = 8
+    scene, meta = atrium(ivy=True).compile()
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=28.0, position=(-10.0, 1.8, 0.0),
+        forward=(18.0, 0.8, 0.0), exposure=3.0,
+    ))
+    cfg = RenderConfig(samples=spp, max_depth=8)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    w, h = size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidxs = [
+        jnp.asarray(np.roll(np.tile(np.arange(spp), h * w), r), jnp.uint32)
+        for r in range(4)
+    ]
+
+    KW = 3
+
+    @jax.jit
+    def fk(s, px, py, sidx):
+        total = jnp.zeros((), jnp.float32)
+        rad = None
+        for i in range(KW):
+            si = sidx if rad is None else (
+                sidx + total.astype(jnp.uint32) + jnp.uint32(i)
+            ) % jnp.uint32(spp)
+            rad, rays = render_wave(s, meta, cam, sampler, cfg, px, py, si)
+            total = total + rays.astype(jnp.float32)
+        return rad, total
+
+    out, total = fk(scene, px, py, sidxs[0])
+    float(jnp.sum(out[:8]))
+    reps = 3
+    t0 = time.time()
+    rays_total = 0.0
+    for r in range(reps):
+        out, total = fk(scene, px, py, sidxs[1 + r])
+        float(jnp.sum(out[:8]))
+        rays_total += float(total)
+    results["atrium_ivy_wave"] = rays_total / (time.time() - t0) / 1e6
+
+
 def bench_shade_kernel(results):
     """Fused shade path (kernels/pallas_shade.py + shade_math.py) on the
     cornell wave — cornell_mis_shade_{xla,pallas} Mrays/s vs the classic
@@ -464,7 +529,7 @@ def main():
     results = {}
     errors = {}
     sections = [("bigscene", bench_bigscene), ("cornell", bench_cornell),
-                ("atrium", bench_atrium)]
+                ("atrium", bench_atrium), ("atrium_ivy", bench_atrium_ivy)]
     if os.environ.get("YART_BENCH_SHADE"):
         sections.append(("shade", bench_shade_kernel))
     for name, fn in sections:

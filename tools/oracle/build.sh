@@ -63,6 +63,7 @@ cat > "$OUT/unity.cpp" <<'UNITY'
 #include "/root/reference/stb-image/impl.cpp"
 UNITY
 cp "$HERE/furnace_oracle.cpp" "$OUT/main.cpp"
+cp "$HERE/glb_bench.hpp" "$OUT/glb_bench.hpp"
 cd "$OUT"
 g++ -O2 -std=c++20 -include prelude.hpp -Isrc -I/root/reference/xoshiro-rng -I/root/reference/stb-image -o oracle unity.cpp
 echo "built $OUT/oracle"

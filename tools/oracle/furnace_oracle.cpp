@@ -500,7 +500,231 @@ static int probeDrawsMain(int argc, char** argv) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// benchglb: reference full-MIS throughput on a GLB exported by
+// yart_tpu.io.glb_export (see glb_bench.hpp for the loader rationale).
+#include "glb_bench.hpp"
+
+static int benchGlbMain(int argc, char** argv) {
+  // argv: benchglb <glb> <env.hdr|-> [spp] [res] [threads]
+  //       [camx camy camz fwdx fwdy fwdz focal_mm] [dump_path]
+  // Camera defaults = bench.py bench_atrium (256^2, 28mm, (-10,1.8,0),
+  // forward (18,0.8,0)).
+  using math::float2;
+  using math::float3;
+  using math::float4;
+  using math::uint2;
+  if (argc < 3) { fprintf(stderr, "benchglb <glb> <hdr|->\n"); return 2; }
+  const char* glbPath = argv[2];
+  std::string hdrPath = argc > 3 ? argv[3] : "-";
+  uint32_t spp = argc > 4 ? atoi(argv[4]) : 8;
+  uint32_t res = argc > 5 ? atoi(argv[5]) : 256;
+  uint32_t benchThreads =
+      argc > 6 ? atoi(argv[6]) : std::thread::hardware_concurrency();
+  float3 camPos(-10.0f, 1.8f, 0.0f), camFwd(18.0f, 0.8f, 0.0f);
+  float focal = 28.0f;
+  if (argc > 12) {
+    camPos = float3(atof(argv[7]), atof(argv[8]), atof(argv[9]));
+    camFwd = float3(atof(argv[10]), atof(argv[11]), atof(argv[12]));
+    focal = atof(argv[13] ? argv[13] : "28");
+  }
+  std::string dump = argc > 14 ? argv[14] : "";
+
+  glbb::Glb g;
+  if (!g.load(glbPath)) { fprintf(stderr, "bad glb: %s\n", glbPath); return 2; }
+
+  Scene scene((Node()));
+
+  // ---- materials (mapping of gltf.cpp:62-176) ----
+  struct TexRefs {
+    const RGBATexture* base = nullptr;
+    const SDRTexture<2>* mr = nullptr;
+    const RGBTexture* normal = nullptr;
+  };
+  std::vector<TexRefs> texCache(
+      g.doc.find("textures") ? g.doc.at("textures").arr.size() : 0);
+  auto texImage = [&](int texIdx, int32_t* len) {
+    int src = int(g.doc.at("textures").arr[texIdx].at("source").num);
+    return g.imageBytes(src, len);
+  };
+  const glbb::JVal& jmats = g.doc.at("materials");
+  for (const glbb::JVal& jm : jmats.arr) {
+    const glbb::JVal& pbr = jm.at("pbrMetallicRoughness");
+    const glbb::JVal* bcf = pbr.find("baseColorFactor");
+    float3 base(1.0f);
+    if (bcf) base = float3(bcf->arr[0].num, bcf->arr[1].num, bcf->arr[2].num);
+    float metallic = pbr.numOr("metallicFactor", 1.0);
+    float roughness = pbr.numOr("roughnessFactor", 1.0);
+    const RGBATexture* baseTex = nullptr;
+    const SDRTexture<2>* mrTex = nullptr;
+    const RGBTexture* nrmTex = nullptr;
+    if (const glbb::JVal* bt = pbr.find("baseColorTexture")) {
+      int ti = int(bt->at("index").num);
+      if (!texCache[ti].base) {
+        int32_t len;
+        const uint8_t* bytes = texImage(ti, &len);
+        texCache[ti].base = scene.addTexture(std::make_unique<RGBATexture>(
+            loadTexture<4>(bytes, len, TextureType::sRGB)));
+      }
+      baseTex = texCache[ti].base;
+    }
+    if (const glbb::JVal* mt = pbr.find("metallicRoughnessTexture")) {
+      int ti = int(mt->at("index").num);
+      if (!texCache[ti].mr) {
+        int32_t len;
+        const uint8_t* bytes = texImage(ti, &len);
+        // channels G (roughness), B (metallic) — gltf.cpp:89-93 order
+        texCache[ti].mr = scene.addTexture(std::make_unique<SDRTexture<2>>(
+            loadTexture<2>(bytes, len, TextureType::NonColor, {1, 2})));
+      }
+      mrTex = texCache[ti].mr;
+    }
+    float normalScale = 1.0f;
+    if (const glbb::JVal* nt = jm.find("normalTexture")) {
+      int ti = int(nt->at("index").num);
+      normalScale = nt->numOr("scale", 1.0);
+      if (!texCache[ti].normal) {
+        int32_t len;
+        const uint8_t* bytes = texImage(ti, &len);
+        texCache[ti].normal = scene.addTexture(std::make_unique<RGBTexture>(
+            loadTexture<3>(bytes, len, TextureType::NonColor)));
+      }
+      nrmTex = texCache[ti].normal;
+    }
+    float ior = 1.5f, transmission = 0.0f, emStrength = 1.0f;
+    if (const glbb::JVal* ex = jm.find("extensions")) {
+      if (const glbb::JVal* e = ex->find("KHR_materials_ior"))
+        ior = e->numOr("ior", 1.5);
+      if (const glbb::JVal* e = ex->find("KHR_materials_transmission"))
+        transmission = e->numOr("transmissionFactor", 0.0);
+      if (const glbb::JVal* e = ex->find("KHR_materials_emissive_strength"))
+        emStrength = e->numOr("emissiveStrength", 1.0);
+    }
+    float3 emission(0.0f);
+    if (const glbb::JVal* ef = jm.find("emissiveFactor"))
+      emission = float3(ef->arr[0].num, ef->arr[1].num, ef->arr[2].num) *
+                 emStrength;
+    scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
+        base, baseTex, mrTex, nullptr, nrmTex, nullptr, nullptr, metallic,
+        roughness, transmission, ior, 0.0f, 0.0f, 0.0f, 0.0f, emission,
+        1.0f, /*thinTransmission=*/true, float3(1), 0.0f)));
+    (void)normalScale;  // the reference ctor takes normalScale positionally
+  }
+
+  // ---- geometry: all primitives merged into one Mesh (world space) ----
+  std::vector<float3> verts;
+  std::vector<VertexData> vdata;
+  std::vector<Face> faces;
+  for (const glbb::JVal& jmesh : g.doc.at("meshes").arr) {
+    for (const glbb::JVal& prim : jmesh.at("primitives").arr) {
+      const glbb::JVal& attrs = prim.at("attributes");
+      uint32_t nv, nn, nuv, ni;
+      const float* pos = (const float*)g.accessor(
+          int(attrs.at("POSITION").num), 5126, "VEC3", &nv);
+      const float* nrm = (const float*)g.accessor(
+          int(attrs.at("NORMAL").num), 5126, "VEC3", &nn);
+      const float* uv = (const float*)g.accessor(
+          int(attrs.at("TEXCOORD_0").num), 5126, "VEC2", &nuv);
+      const uint32_t* idx = (const uint32_t*)g.accessor(
+          int(prim.at("indices").num), 5125, "SCALAR", &ni);
+      uint32_t mat = uint32_t(prim.at("material").num);
+      uint32_t baseV = verts.size();
+      for (uint32_t i = 0; i < nv; i++) {
+        verts.push_back(float3(pos[3 * i], pos[3 * i + 1], pos[3 * i + 2]));
+        vdata.push_back({float3(nrm[3 * i], nrm[3 * i + 1], nrm[3 * i + 2]),
+                         float4(1, 0, 0, 1),
+                         float2(uv[2 * i], uv[2 * i + 1])});
+      }
+      for (uint32_t i = 0; i + 2 < ni; i += 3)
+        faces.push_back(
+            {baseV + idx[i], baseV + idx[i + 1], baseV + idx[i + 2], mat});
+    }
+  }
+  std::cout << "benchglb scene: " << faces.size() << " tris, "
+            << jmats.arr.size() << " materials" << std::endl;
+  scene.addMesh(std::make_unique<Mesh>(verts, vdata, faces));
+  Node meshNode(&scene.mesh(0));
+  {
+    // Emissive faces -> AreaLights (gltf.cpp:299-314)
+    uint32_t i = 0;
+    int32_t li = 0;
+    for (const auto& tri : scene.mesh(0).triangles()) {
+      const float3* em = scene.material(scene.mesh(0).material(i)).emission();
+      if (em) {
+        scene.addLight(AreaLight(&tri, &scene.mesh(0), *em, Transform()));
+        scene.mesh(0).lightIdx(i) = li++;
+      }
+      i++;
+    }
+  }
+  scene.root().appendChild(std::move(meshNode));
+
+  float radius = math::length(scene.root().boundingBox().max -
+                              scene.root().boundingBox().min) * 0.5f;
+  HDRTexture hdri(1, 1, TextureType::NonColor);
+  if (hdrPath != "-") {
+    hdri = loadTextureHDR(hdrPath.c_str());
+    scene.addLight(ImageInfiniteLight(radius, &hdri));
+  }
+
+  if (!dump.empty()) {
+    Buffer buf(res, res);
+    Camera cam(uint2(res, res), focal, 0.0f, float2(36, 24), camPos, camFwd);
+    SobolSampler<FastOwenScrambler> smp(spp, uint2(res, res));
+    cpu::MISIntegrator ii(buf, cam, smp);
+    ii.scene = &scene;
+    ii.samples = spp;
+    ii.samplingBounds = math::ubounds2({0, 0}, {res, res});
+    ii.samplingOffset = uint2(0, 0);
+    ii.render();
+    dumpBuffer(buf, dump, res, res);
+    std::cout << "benchglb dumped " << dump << std::endl;
+    return 0;
+  }
+
+  for (uint32_t pass = 0; pass < 2; pass++) {
+    uint32_t threads = pass == 0 ? 1 : benchThreads;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> rays{0};
+    std::atomic<uint32_t> nextBand{0};
+    const char* bandEnv = getenv("ORACLE_BAND");
+    const uint32_t bandRows = bandEnv ? atoi(bandEnv) : 16;
+    auto tb = std::chrono::steady_clock::now();
+    for (uint32_t t = 0; t < threads; t++) {
+      pool.emplace_back([&] {
+        Buffer buf(res, res);
+        Camera cam(uint2(res, res), focal, 0.0f, float2(36, 24), camPos,
+                   camFwd);
+        SobolSampler<FastOwenScrambler> smp(spp, uint2(res, res));
+        cpu::MISIntegrator ii(buf, cam, smp);
+        ii.scene = &scene;
+        ii.samples = spp;
+        uint64_t r = 0;
+        for (;;) {
+          uint32_t lo = nextBand.fetch_add(bandRows);
+          if (lo >= res) break;
+          uint32_t hi = std::min(lo + bandRows, res);
+          ii.samplingBounds = math::ubounds2({0, lo}, {res, hi});
+          ii.samplingOffset = uint2(0, 0);
+          ii.render();
+          r += ii.rayCount();
+        }
+        rays += r;
+      });
+    }
+    for (auto& th : pool) th.join();
+    auto te = std::chrono::steady_clock::now();
+    double dt = std::chrono::duration<double>(te - tb).count();
+    std::cout << "benchglb threads=" << threads << ": "
+              << rays.load() / dt / 1e6 << " Mrays/s (" << rays.load()
+              << " rays, " << dt << " s)" << std::endl;
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "benchglb")
+    return benchGlbMain(argc, argv);
   if (argc > 1 && std::string(argv[1]) == "probe") return probeMain(argc, argv);
   if (argc > 1 && std::string(argv[1]) == "probedraws")
     return probeDrawsMain(argc, argv);

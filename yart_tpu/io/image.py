@@ -29,14 +29,23 @@ def write_ppm(path: str, display: np.ndarray) -> None:
         f.write(data.tobytes())
 
 
-def encode_png(display: np.ndarray, gamma_encode: bool = True) -> bytes:
-    """Minimal RGB8 PNG encoder; display is [H, W, 3] linear (or already
-    encoded if gamma_encode=False). Returns the PNG bytes."""
+def encode_png(display: np.ndarray, gamma_encode: bool = True,
+               keep_alpha: bool = False) -> bytes:
+    """Minimal RGB8/RGBA8 PNG encoder; display is [H, W, 3|4] linear (or
+    already encoded if gamma_encode=False). `keep_alpha` writes a 4th
+    channel (straight, linear) when present — used by the GLB exporter
+    for alpha-tested base-color textures. Returns the PNG bytes."""
     h, w = display.shape[:2]
+    nc = 4 if (keep_alpha and display.shape[-1] >= 4) else 3
     if gamma_encode:
         data = _encode_gamma22(display[..., :3])
+        if nc == 4:
+            a = np.clip(display[..., 3:4] * 255.0 + 0.5, 0, 255)
+            data = np.concatenate([data, a.astype(np.uint8)], axis=-1)
     else:
-        data = np.clip(display[..., :3] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        data = np.clip(display[..., :nc] * 255.0 + 0.5, 0, 255).astype(
+            np.uint8
+        )
 
     raw = b"".join(
         b"\x00" + data[y].tobytes() for y in range(h)
@@ -50,7 +59,7 @@ def encode_png(display: np.ndarray, gamma_encode: bool = True) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nc == 3 else 6, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -33,6 +33,15 @@ def srgb_decode_np(v: np.ndarray) -> np.ndarray:
     return np.where(v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4).astype(np.float32)
 
 
+def srgb_encode_np(v: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) sRGB encode (texture/image export)."""
+    v = np.asarray(v, np.float32)
+    safe = np.maximum(v, 1e-12)
+    return np.where(
+        v <= 0.0031308, v * 12.92, 1.055 * safe ** (1.0 / 2.4) - 0.055
+    ).astype(np.float32)
+
+
 def gamma2_encode_np(v: np.ndarray) -> np.ndarray:
     """Host-side gamma-2 re-encode (texture.hpp:80-84): stored = sqrt(linear)."""
     return np.sqrt(np.maximum(np.asarray(v, np.float32), 0.0)).astype(np.float32)
