@@ -187,3 +187,170 @@ def test_glb_shared_mesh_instanced(tmp_path):
     assert meta.n_tris == 3 * meta.proto_metas[0].n_tris
     # The emissive material registers lights per instance.
     assert meta.n_lights == 3 * meta.proto_metas[0].n_tris
+
+
+# ---- round-4 torture tests: strips/fans, sparse accessors, interleaved
+# byteStride, TEXCOORD_1 / non-triangle warnings --------------------------
+
+def _write_glb(tmp_path, doc, bin_blob, name="t.glb"):
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    pad_bin = bin_blob + b"\x00" * ((4 - len(bin_blob) % 4) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2,
+                    12 + 8 + len(js) + 8 + len(pad_bin))
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(pad_bin), 0x004E4942) + pad_bin
+    )
+    path = tmp_path / name
+    path.write_bytes(glb)
+    return str(path)
+
+
+def _quad_doc(positions, extra_prims, accessors, bin_blob, views):
+    return {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": extra_prims}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [1, 1, 1, 1], "metallicFactor": 0.0,
+            "roughnessFactor": 0.5}}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+
+
+def test_triangle_strip_and_fan(tmp_path):
+    """mode 5 (STRIP) and mode 6 (FAN) triangulate instead of dropping.
+    A 4-vertex strip/fan of the unit quad must produce the same 2
+    triangles (up to winding parity handled per spec)."""
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                     np.float32)
+    bin_blob = pos.tobytes()
+    views = [{"buffer": 0, "byteOffset": 0, "byteLength": 48}]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+    ]
+    # strip over vertex sequence 0,1,2,3
+    doc = _quad_doc(pos, [{"attributes": {"POSITION": 0}, "mode": 5,
+                           "material": 0}], accessors, bin_blob, views)
+    b = load(_write_glb(tmp_path, doc, bin_blob, "strip.glb"))
+    tris = np.concatenate(b._tris)
+    assert tris.shape == (2, 3)
+    # winding of the odd triangle is flipped per spec: (0,1,2), (2,1,3)
+    np.testing.assert_array_equal(tris, [[0, 1, 2], [2, 1, 3]])
+
+    # fan over 0,1,3,2 -> (0,1,3), (0,3,2)
+    fan = np.asarray([0, 1, 3, 2], np.uint16)
+    bin2 = pos.tobytes() + fan.tobytes()
+    views2 = views + [{"buffer": 0, "byteOffset": 48, "byteLength": 8}]
+    acc2 = accessors + [
+        {"bufferView": 1, "componentType": 5123, "count": 4,
+         "type": "SCALAR"},
+    ]
+    doc = _quad_doc(pos, [{"attributes": {"POSITION": 0}, "indices": 1,
+                           "mode": 6, "material": 0}], acc2, bin2, views2)
+    b = load(_write_glb(tmp_path, doc, bin2, "fan.glb"))
+    tris = np.concatenate(b._tris)
+    np.testing.assert_array_equal(tris, [[0, 1, 3], [0, 3, 2]])
+
+
+def test_points_lines_warn_and_skip(tmp_path):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    bin_blob = pos.tobytes()
+    views = [{"buffer": 0, "byteOffset": 0, "byteLength": 36}]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+    ]
+    doc = _quad_doc(pos, [
+        {"attributes": {"POSITION": 0}, "mode": 0, "material": 0},
+        {"attributes": {"POSITION": 0}, "mode": 4, "material": 0},
+    ], accessors, bin_blob, views)
+    with pytest.warns(UserWarning, match="non-triangle mode 0"):
+        b = load(_write_glb(tmp_path, doc, bin_blob))
+    assert np.concatenate(b._tris).shape == (1, 3)  # triangle prim kept
+
+
+def test_texcoord1_warns(tmp_path):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uv = np.zeros((3, 2), np.float32)
+    bin_blob = pos.tobytes() + uv.tobytes() + uv.tobytes()
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+        {"buffer": 0, "byteOffset": 36, "byteLength": 24},
+        {"buffer": 0, "byteOffset": 60, "byteLength": 24},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+        {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC2"},
+        {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+    ]
+    doc = _quad_doc(pos, [{"attributes": {
+        "POSITION": 0, "TEXCOORD_0": 1, "TEXCOORD_1": 2}, "material": 0,
+    }], accessors, bin_blob, views)
+    with pytest.warns(UserWarning, match="TEXCOORD_1"):
+        load(_write_glb(tmp_path, doc, bin_blob))
+
+
+def test_sparse_accessor(tmp_path):
+    """Sparse POSITION overlay (glTF 2.0 §3.6.2.3): base accessor with two
+    vertices displaced through sparse indices/values."""
+    pos = np.zeros((4, 3), np.float32)
+    sparse_vals = np.asarray([[1, 0, 0], [0, 1, 0]], np.float32)
+    sparse_idx = np.asarray([1, 2], np.uint16)
+    idx = np.asarray([0, 1, 2, 1, 3, 2], np.uint16)
+    bin_blob = (pos.tobytes() + sparse_vals.tobytes() + sparse_idx.tobytes()
+                + idx.tobytes())
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+        {"buffer": 0, "byteOffset": 48, "byteLength": 24},
+        {"buffer": 0, "byteOffset": 72, "byteLength": 4},
+        {"buffer": 0, "byteOffset": 76, "byteLength": 12},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3",
+         "sparse": {
+             "count": 2,
+             "indices": {"bufferView": 2, "componentType": 5123},
+             "values": {"bufferView": 1},
+         }},
+        {"bufferView": 3, "componentType": 5123, "count": 6,
+         "type": "SCALAR"},
+    ]
+    doc = _quad_doc(pos, [{"attributes": {"POSITION": 0}, "indices": 1,
+                           "material": 0}], accessors, bin_blob, views)
+    b = load(_write_glb(tmp_path, doc, bin_blob))
+    p = np.concatenate(b._positions)
+    np.testing.assert_array_equal(p[1], [1, 0, 0])
+    np.testing.assert_array_equal(p[2], [0, 1, 0])
+    np.testing.assert_array_equal(p[0], [0, 0, 0])
+
+
+def test_interleaved_bytestride(tmp_path):
+    """Interleaved vertex buffer: POSITION+NORMAL share one bufferView
+    with byteStride 24."""
+    inter = np.zeros((3, 6), np.float32)
+    inter[:, :3] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    inter[:, 3:] = [0, 0, 1]
+    bin_blob = inter.tobytes()
+    views = [{"buffer": 0, "byteOffset": 0, "byteLength": 72,
+              "byteStride": 24}]
+    accessors = [
+        {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+         "count": 3, "type": "VEC3"},
+        {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+         "count": 3, "type": "VEC3"},
+    ]
+    doc = _quad_doc(inter, [{"attributes": {"POSITION": 0, "NORMAL": 1},
+                             "material": 0}], accessors, bin_blob, views)
+    b = load(_write_glb(tmp_path, doc, bin_blob))
+    np.testing.assert_array_equal(
+        np.concatenate(b._positions),
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+    )
+    np.testing.assert_array_equal(
+        np.concatenate(b._normals), np.tile([[0, 0, 1]], (3, 1))
+    )

@@ -31,7 +31,14 @@ def parse_args(argv=None):
     p.add_argument("--size", default="512x512", help="WxH")
     p.add_argument("--max-depth", type=int, default=30)
     p.add_argument("--integrator", choices=["mis", "naive"], default="mis")
-    p.add_argument("--sampler", choices=["zsobol", "hash"], default="zsobol")
+    p.add_argument(
+        "--sampler", default="zsobol",
+        help="zsobol | stratified | hash | zsobol:<scrambler> with "
+             "scrambler in {null, binary, fastowen, owen} "
+             "(config.py sampler choices; default zsobol = "
+             "zsobol:fastowen, the reference's production pick, "
+             "src/main.cpp:16)",
+    )
     p.add_argument("--estimator", choices=["gmon", "gmonb", "mon", "mean"], default="gmon")
     p.add_argument("--tonemap", choices=["agx", "none"], default="agx")
     p.add_argument("--look", choices=["none", "golden", "punchy"], default="none")
@@ -84,7 +91,23 @@ def parse_args(argv=None):
                    help="initialize jax.distributed first (multi-host: run "
                         "the same command on every host; implies "
                         "--devices all)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # Validate the open-form sampler spec HERE (argparse choices can't
+    # express the zsobol:<scrambler> family) so a typo fails at parse
+    # time, not after minutes of scene compilation.
+    s = args.sampler
+    base = s.split(":", 1)[0]
+    scramblers = ("null", "binary", "fastowen", "owen")
+    if not (
+        s in ("hash", "stratified", "zsobol")
+        or (base == "zsobol" and ":" in s
+            and s.split(":", 1)[1] in scramblers)
+    ):
+        p.error(
+            f"invalid --sampler {s!r}: expected zsobol | stratified | "
+            f"hash | zsobol:{{{','.join(scramblers)}}}"
+        )
+    return args
 
 
 def build_scene(args):

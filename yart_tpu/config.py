@@ -71,6 +71,10 @@ class RenderConfig:
     # gradients flow to scene.positions — the interior (shading) term of
     # geometry derivatives; visibility stays detached (render/diff.py).
     diff_geometry: bool = False
+    # Backward-pass remat policy: "trace" saves traversal outputs across
+    # the per-bounce checkpoint; "trace_lut" also saves LUT/texture/env
+    # lookups; "all" saves everything (no re-forward, HBM-bound).
+    remat: str = "trace"
 
 
 @dataclasses.dataclass(frozen=True)

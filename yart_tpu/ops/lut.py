@@ -316,26 +316,36 @@ def load_tables():
 from yart_tpu.ops.gatherless import fetch_1d_ref, fetch_2d_ref, fetch_3d_ref
 
 
+def _named(x):
+    # checkpoint_name: identity outside jax.checkpoint; under the
+    # integrator's per-bounce remat with cfg.remat="trace_lut" these
+    # fetch outputs are saved as residuals so the backward re-forward
+    # skips the hat-weight contractions (render/integrator.py).
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "lut")
+
+
 def ggx_e(tables, cos_theta, r):
     """ggxE (luts.hpp:34-45); axes [r][cos]."""
-    return fetch_2d_ref(jnp.asarray(tables["ggx_E"]), r, cos_theta)
+    return _named(fetch_2d_ref(jnp.asarray(tables["ggx_E"]), r, cos_theta))
 
 
 def ggx_eavg(tables, r):
     """ggxEavg (luts.hpp:53-58)."""
-    return fetch_1d_ref(jnp.asarray(tables["ggx_Eavg"]), r)
+    return _named(fetch_1d_ref(jnp.asarray(tables["ggx_Eavg"]), r))
 
 
 def ggx_base_e(tables, f0, r, cos_theta):
     """ggxBaseE (luts.hpp:70-99); axes [f0][r][cos]."""
     f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
-    return fetch_3d_ref(jnp.asarray(tables["ggx_base_E"]), f0, r, cos_theta)
+    return _named(fetch_3d_ref(jnp.asarray(tables["ggx_base_E"]), f0, r, cos_theta))
 
 
 def ggx_base_eavg(tables, f0, r):
     """ggxBaseEavg (luts.hpp:107-118); axes [f0][r]."""
     f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(r))
-    return fetch_2d_ref(jnp.asarray(tables["ggx_base_Eavg"]), f0, r)
+    return _named(fetch_2d_ref(jnp.asarray(tables["ggx_base_Eavg"]), f0, r))
 
 
 def _glass_f0(ior):
@@ -352,7 +362,7 @@ def ggx_glass_e(tables, ior, r, cos_theta):
     f0 = _glass_f0(ior_n)
     v_n = fetch_3d_ref(jnp.asarray(tables["ggx_glass_E"]), f0, cos_theta, r)
     v_i = fetch_3d_ref(jnp.asarray(tables["ggx_glass_inv_E"]), f0, cos_theta, r)
-    return jnp.where(inv, v_i, v_n)
+    return _named(jnp.where(inv, v_i, v_n))
 
 
 def ggx_glass_eavg(tables, ior, r):
@@ -362,4 +372,4 @@ def ggx_glass_eavg(tables, ior, r):
     f0 = _glass_f0(ior_n)
     v_n = fetch_2d_ref(jnp.asarray(tables["ggx_glass_Eavg"]), f0, r)
     v_i = fetch_2d_ref(jnp.asarray(tables["ggx_glass_inv_Eavg"]), f0, r)
-    return jnp.where(inv, v_i, v_n)
+    return _named(jnp.where(inv, v_i, v_n))

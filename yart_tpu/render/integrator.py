@@ -620,14 +620,22 @@ def li(
         # EXCEPT the traversal kernels, whose outputs are saved by name
         # (see checkpoint_name above): hits are stop-gradient anyway, so
         # re-running presort + the fused trace in the backward sweep is
-        # pure waste.
+        # pure waste. cfg.remat widens what is saved:
+        #   "trace" (default)  save traversal outputs only
+        #   "trace_lut"        + multiscatter-LUT fetches and texture/env
+        #                        row lookups (checkpoint_name 'lut' sites)
+        #   "all"              save every intermediate (no re-forward;
+        #                        HBM-bound, small shapes only)
+        if cfg.remat == "all":
+            policy = jax.checkpoint_policies.everything_saveable
+        elif cfg.remat == "trace_lut":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "trace", "lut"
+            )
+        else:
+            policy = jax.checkpoint_policies.save_only_these_names("trace")
         st, _ = lax.scan(
-            jax.checkpoint(
-                scan_body, prevent_cse=False,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "trace"
-                ),
-            ),
+            jax.checkpoint(scan_body, prevent_cse=False, policy=policy),
             st, None, length=cfg.max_depth,
         )
     else:

@@ -70,4 +70,10 @@ def sample_stack(stack: TextureStack, idx, uv):
     s11 = q[..., 3 * c : 4 * c]
 
     out = (s00 * (1 - fv) + s01 * fv) * (1 - fu) + (s10 * (1 - fv) + s11 * fv) * fu
-    return jnp.where((idx >= 0)[..., None], out, 0.0)
+    out = jnp.where((idx >= 0)[..., None], out, 0.0)
+    # Saved across the per-bounce remat under cfg.remat="trace_lut"
+    # (render/integrator.py): the quad-row gather + bilinear mix is the
+    # per-bounce cost worth not re-running in the backward sweep.
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "lut")

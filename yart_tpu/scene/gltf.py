@@ -87,6 +87,27 @@ class _Gltf:
                     shape=(n, ncomp),
                     strides=(stride, np.dtype(dtype).itemsize),
                 ).copy()
+        if "sparse" in acc:
+            # Sparse accessor overlay (glTF 2.0 §3.6.2.3): substitute
+            # `count` elements of the (possibly zero-initialized) base.
+            sp = acc["sparse"]
+            out = np.array(out)  # writable copy
+            si = sp["indices"]
+            sbv = self.doc["bufferViews"][si["bufferView"]]
+            sdt = _COMPONENT_DTYPES[si["componentType"]]
+            soff = sbv.get("byteOffset", 0) + si.get("byteOffset", 0)
+            sidx = np.frombuffer(
+                self.buffers[sbv["buffer"]], sdt, count=sp["count"],
+                offset=soff,
+            ).astype(np.int64)
+            sv = sp["values"]
+            vbv = self.doc["bufferViews"][sv["bufferView"]]
+            voff = vbv.get("byteOffset", 0) + sv.get("byteOffset", 0)
+            vals = np.frombuffer(
+                self.buffers[vbv["buffer"]], dtype,
+                count=sp["count"] * ncomp, offset=voff,
+            ).reshape(sp["count"], ncomp)
+            out[sidx] = vals
         if acc.get("normalized") and dtype != np.float32:
             info = np.iinfo(dtype)
             out = out.astype(np.float32) / info.max
@@ -283,9 +304,26 @@ def load(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
     for gmesh in g.doc.get("meshes", []):
         prims = []
         for prim in gmesh.get("primitives", []):
-            if prim.get("mode", 4) != 4:  # TRIANGLES only
+            mode = prim.get("mode", 4)
+            if mode not in (4, 5, 6):
+                # POINTS/LINES/LINE_LOOP/LINE_STRIP carry no renderable
+                # area — warn LOUDLY instead of silently dropping
+                # (the reference's fastgltf path would also skip these).
+                import warnings
+
+                warnings.warn(
+                    f"gltf: skipping primitive with non-triangle mode "
+                    f"{mode} (points/lines are not renderable geometry)"
+                )
                 continue
             attrs = prim["attributes"]
+            if "TEXCOORD_1" in attrs:
+                import warnings
+
+                warnings.warn(
+                    "gltf: TEXCOORD_1 present but only TEXCOORD_0 is "
+                    "sampled (matches the reference, gltf.cpp:238-246)"
+                )
             pos = g.accessor(attrs["POSITION"]).astype(np.float32)
             nrm = (
                 g.accessor(attrs["NORMAL"]).astype(np.float32)
@@ -303,9 +341,27 @@ def load(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
                 else None
             )
             if "indices" in prim:
-                idx = g.accessor(prim["indices"]).reshape(-1, 3).astype(np.int64)
+                seq = g.accessor(prim["indices"]).reshape(-1).astype(np.int64)
             else:
-                idx = np.arange(pos.shape[0], dtype=np.int64).reshape(-1, 3)
+                seq = np.arange(pos.shape[0], dtype=np.int64)
+            if mode == 4:  # TRIANGLES
+                idx = seq.reshape(-1, 3)
+            elif mode == 5:  # TRIANGLE_STRIP: (i, i+1, i+2), winding
+                # alternates so odd triangles swap the first two indices
+                n_t = seq.shape[0] - 2
+                tri = np.stack([seq[:-2], seq[1:-1], seq[2:]], axis=1)
+                odd = np.arange(n_t) % 2 == 1
+                tri[odd] = tri[odd][:, [1, 0, 2]]
+                idx = tri
+            else:  # TRIANGLE_FAN: (0, i+1, i+2)
+                idx = np.stack(
+                    [
+                        np.full(seq.shape[0] - 2, seq[0], np.int64),
+                        seq[1:-1],
+                        seq[2:],
+                    ],
+                    axis=1,
+                )
             mat = mat_ids[prim.get("material", 0)] if mat_ids else 0
             prims.append((pos, nrm, uv, tan, idx, mat))
         meshes.append(prims)
