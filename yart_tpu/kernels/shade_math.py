@@ -1086,12 +1086,20 @@ def bsdf_sample_c(inp, cand, fet, gates):
 # ---------------------------------------------------------------------------
 
 
-def finish(inp, cand, fet, gates, mis=True, any_lights=True):
+def finish(inp, cand, fet, gates, mis=True, any_lights=True,
+           detach=False):
     """Sample pick + emitted-MIS + NEE eval + throughput + roulette + state.
 
     Returns the dict of per-lane outputs the integrator consumes after the
     shadow traversal. All decisions are branchless; `mis`/`any_lights` and
     the lobe gates are static.
+
+    `detach=True` (differentiable mode, XLA assembly only) applies the
+    SAME detached-sampling cut as the classic bounce body
+    (render/integrator.py): the sampled direction, its pdf, and the
+    regularization roughness become constants AFTER the sample is built,
+    while f and Le keep their parameter dependence — so gradients match
+    the classic path (tests/test_diff.py::test_shade_xla_grads*).
     """
     frame = cand["frame"]
     n = inp["n"]
@@ -1103,6 +1111,16 @@ def finish(inp, cand, fet, gates, mis=True, any_lights=True):
     zero3 = vsplat(zero)
 
     smp = bsdf_sample_c(inp, cand, fet, gates)
+    if detach:
+        import jax
+
+        sg = jax.lax.stop_gradient
+        smp = dict(
+            smp,
+            wi=tuple(sg(c) for c in smp["wi"]),
+            pdf=sg(smp["pdf"]),
+            roughness=sg(smp["roughness"]),
+        )
     flags = smp["flags"]
     wi_world = local_to_world(smp["wi"], *frame)
 

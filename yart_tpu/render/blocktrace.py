@@ -500,10 +500,21 @@ def intersect_blocktrace_gated(
     liveness comes from the carried t_max lanes, so later casts — which
     touch only the shrinking pass-through set — cost one row gather plus
     the fused kernel over the few still-live blocks instead of the full
-    pipeline. Bit-identical to re-sorting every cast."""
+    pipeline. Bit-identical to re-sorting every cast.
+
+    Round 4 — tail compaction: the pass-through ladder decays ~3.5x per
+    cast (524k -> 80k -> 28k -> 9k ... on the ivy flagship,
+    tools/diag_gated.py) but every cast's ELEMENTWISE work (ray-matrix
+    gathers, gate texture fetches, hit merges) runs at full lane width —
+    ~10 full-width casts made the ivy wave 3.8x slower than the plain
+    one. So: once the active count fits in an n/8 buffer, the survivors
+    are compacted (stable argsort on the active mask), the re-cast loop
+    finishes at 1/8 width with its own (cheap) presort, and results
+    scatter back. Per-lane results are order-free, so this is exact."""
     from yart_tpu.render.intersect import Hit
 
     n = o.shape[0]
+    blk = block if block is not None else TRACE_BLOCK
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if alpha_seed is None:
         alpha_seed = jnp.zeros((n,), jnp.uint32)
@@ -519,59 +530,98 @@ def intersect_blocktrace_gated(
         jnp.zeros((n,), bool), atten0, jnp.zeros((n,), bool),
     )
 
+    amask = bool(meta.any_alpha) and fused
+
+    def run_casts(o_l, d_l, tmax_l, seed_l, state0, order_info_l,
+                  stop_at_cap):
+        """The re-cast loop over one lane set. `stop_at_cap` (static int
+        or None) additionally exits once the active count fits the
+        compaction buffer."""
+
+        def cond(st):
+            best, act, floor, cast = st
+            go = jnp.any(act) & (cast < max_casts)
+            if stop_at_cap is not None:
+                go = go & (jnp.sum(act.astype(jnp.int32)) > stop_at_cap)
+            return go
+
+        def body(st):
+            best, act, floor, cast = st
+            tm = jnp.where(act, tmax_l, -1.0)
+            h = intersect_blocktrace(
+                scene, meta, o_l, d_l, tm, t_min=t_min, nee=False,
+                floor=floor, block=block, k=k, fused=fused, kbatch=kbatch,
+                groups=groups, rekey=rekey, minleft=minleft,
+                order_info=order_info_l, amask=amask, interpret=interpret,
+            )
+            hit = h.mask & act
+            alpha_ok, transparent, factor = _hit_gates(
+                scene, meta, h, d_l, nee, seed_l
+            )
+            passthru = hit & (transparent | ~alpha_ok)
+            accept = hit & ~transparent & alpha_ok
+            atten_new = jnp.where(
+                (hit & transparent)[:, None],
+                best.attenuation * factor,
+                best.attenuation,
+            )
+            best = Hit(
+                jnp.where(accept, h.t, best.t),
+                jnp.where(accept, h.tri, best.tri),
+                jnp.where(accept, h.u, best.u),
+                jnp.where(accept, h.v, best.v),
+                jnp.where(accept, h.back_side, best.back_side),
+                atten_new,
+                best.mask | accept,
+            )
+            return (
+                best,
+                act & passthru,
+                jnp.where(passthru, h.t, floor),
+                cast + 1,
+            )
+
+        return lax.while_loop(cond, body, state0)
+
     order_info = None
     if fused:
         order_info = _fused_order(
             scene, meta, o, d, t_max_v, jnp.zeros((n,), jnp.float32),
-            block if block is not None else TRACE_BLOCK, t_min, interpret,
+            blk, t_min, interpret,
         )
 
-    def cond(st):
-        best, act, floor, cast = st
-        return jnp.any(act) & (cast < max_casts)
-
-    amask = bool(meta.any_alpha) and fused
-
-    def body(st):
-        best, act, floor, cast = st
-        tm = jnp.where(act, t_max_v, -1.0)
-        h = intersect_blocktrace(
-            scene, meta, o, d, tm, t_min=t_min, nee=False, floor=floor,
-            block=block, k=k, fused=fused, kbatch=kbatch, groups=groups,
-            rekey=rekey, minleft=minleft, order_info=order_info,
-            amask=amask, interpret=interpret,
-        )
-        hit = h.mask & act
-        alpha_ok, transparent, factor = _hit_gates(
-            scene, meta, h, d, nee, alpha_seed
-        )
-        passthru = hit & (transparent | ~alpha_ok)
-        accept = hit & ~transparent & alpha_ok
-        atten_new = jnp.where(
-            (hit & transparent)[:, None],
-            best.attenuation * factor,
-            best.attenuation,
-        )
-        best = Hit(
-            jnp.where(accept, h.t, best.t),
-            jnp.where(accept, h.tri, best.tri),
-            jnp.where(accept, h.u, best.u),
-            jnp.where(accept, h.v, best.v),
-            jnp.where(accept, h.back_side, best.back_side),
-            atten_new,
-            best.mask | accept,
-        )
-        return (
-            best,
-            act & passthru,
-            jnp.where(passthru, h.t, floor),
-            cast + 1,
-        )
-
-    best, _, _, _ = lax.while_loop(
-        cond,
-        body,
-        (zero_hit, jnp.ones((n,), bool), jnp.zeros((n,), jnp.float32),
-         jnp.asarray(0, jnp.int32)),
+    cap = -(-(n // 8) // blk) * blk
+    compact = fused and cap >= blk and cap < n
+    state0 = (zero_hit, jnp.ones((n,), bool), jnp.zeros((n,), jnp.float32),
+              jnp.asarray(0, jnp.int32))
+    best, act, floor, cast = run_casts(
+        o, d, t_max_v, alpha_seed, state0, order_info,
+        cap if compact else None,
     )
-    return best
+    if not compact:
+        return best
+
+    # ---- tail compaction: finish the survivors at 1/8 width ----
+    idx = jnp.argsort(jnp.where(act, 0, 1))[:cap]  # stable: active first
+    sub = lambda a: a[idx]
+    best_c = Hit(*(sub(f) for f in best))
+    o_c, d_c = o[idx], d[idx]
+    tmax_c = t_max_v[idx]
+    act_c = act[idx]
+    order_c = _fused_order(
+        scene, meta, o_c, d_c, jnp.where(act_c, tmax_c, -1.0),
+        jnp.where(act_c, floor[idx], 0.0), blk, t_min, interpret,
+    )
+    best_c, _, _, _ = run_casts(
+        o_c, d_c, tmax_c, alpha_seed[idx],
+        (best_c, act_c, floor[idx], cast), order_c, None,
+    )
+    return Hit(
+        best.t.at[idx].set(best_c.t),
+        best.tri.at[idx].set(best_c.tri),
+        best.u.at[idx].set(best_c.u),
+        best.v.at[idx].set(best_c.v),
+        best.back_side.at[idx].set(best_c.back_side),
+        best.attenuation.at[idx].set(best_c.attenuation),
+        best.mask.at[idx].set(best_c.mask),
+    )

@@ -139,7 +139,7 @@ def shading_data(scene: CompiledScene, meta: SceneMeta, hit, o, d) -> Shading:
 
 def _shade_kernel_body(
     scene, meta, sampler, lane_state, cfg, st, hit, sh, mat, found, L,
-    dim0, rays, bounce_seed, mis,
+    dim0, rays, bounce_seed, mis, differentiable=False,
 ):
     """Fused-shade bounce body: the whole post-intersect bounce goes through
     kernels/shade_math.py — assembled by XLA (`shade_kernel == "xla"`) or
@@ -252,17 +252,29 @@ def _shade_kernel_body(
     else:
         cand = SM.candidates(inp, gates)
         fet = SM.run_fetches(lut.load_tables(), cand["coords"])
-        out = SM.finish(inp, cand, fet, gates, mis=mis, any_lights=any_lights)
+        out = SM.finish(inp, cand, fet, gates, mis=mis,
+                        any_lights=any_lights, detach=differentiable)
 
     s3 = lambda v: jnp.stack(v, axis=-1)
     L = L + s3(out["L_emit"])
 
     if mis and any_lights:
+        sgd = lax.stop_gradient if differentiable else (lambda x: x)
         occ = intersect(
-            scene, meta, sh.p, s3(out["shadow_d"]), out["shadow_tmax"],
+            scene if not differentiable
+            else jax.tree_util.tree_map(lax.stop_gradient, scene),
+            meta, sgd(sh.p), sgd(s3(out["shadow_d"])),
+            sgd(out["shadow_tmax"]),
             t_min=RAY_EPS, nee=True,
             alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
         )
+        if differentiable:
+            from jax.ad_checkpoint import checkpoint_name
+
+            occ = jax.tree_util.tree_map(lax.stop_gradient, occ)
+            occ = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "trace"), occ
+            )
         rays = rays + jnp.sum(out["nee_need"].astype(jnp.float32))
         ok = out["nee_need"] & ~occ.mask
         L = L + jnp.where(
@@ -368,11 +380,12 @@ def li(
     n = o.shape[0]
     tables = lut.load_tables()
     sg = lax.stop_gradient if differentiable else (lambda x: x)
-    if differentiable and cfg.shade_kernel != "off":
+    if differentiable and cfg.shade_kernel == "pallas":
         raise NotImplementedError(
-            "shade_kernel: the fused shade path does not thread the "
-            "detached-sampling stop_gradients; use shade_kernel='off' for "
-            "differentiable rendering"
+            "shade_kernel='pallas': the Pallas shade kernel has no VJP; "
+            "use shade_kernel='xla' (same math, detached-sampling "
+            "gradients, kernels/shade_math.py finish(detach=True)) or "
+            "'off' for differentiable rendering"
         )
 
     st = _State(
@@ -461,6 +474,7 @@ def li(
             return _shade_kernel_body(
                 scene, meta, sampler, lane_state, cfg, st, hit, sh, mat,
                 found, L, dim0, rays, bounce_seed, mis,
+                differentiable=differentiable,
             )
 
         u = sampler.get2d(lane_state, dim0)

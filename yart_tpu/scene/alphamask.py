@@ -53,8 +53,21 @@ def _axis_segments(lo: np.ndarray, hi: np.ndarray, size: int):
     """Vectorized texel index segments touched by continuous spans
     [lo, hi] in uv units, repeat-wrapped, for the sampler's mapping
     U = frac(u)*(size-1) with bilinear texels {clamp(floor(U), 0,
-    size-2), +1}. Returns (a0, b0, a1, b1, use1): two inclusive index
-    ranges per span (the second valid where use1)."""
+    size-2), +1}.
+
+    The bake uses exact float64 span endpoints but the kernels/gate
+    interpolate uv in f32, so a hit uv can land a few ulps outside the
+    exact span. Two safe-direction allowances cover that (ADVICE round
+    3): each index range is widened by one texel downward (upward is
+    already covered by the bilinear +1), and when an endpoint sits
+    within `err` of a PERIOD boundary an explicit wrap segment admits
+    the opposite edge's texels (f32 rounding across the boundary flips
+    frac() to the other end — e.g. uv rounding up to exactly 1.0 samples
+    texel 0). Expanding lo/hi in uv space instead would wrap EVERY
+    cell touching uv==0 onto the far texel column and gut the cull.
+
+    Returns a list of (a, b, use) inclusive index ranges with validity
+    masks."""
     bad = ~np.isfinite(lo) | ~np.isfinite(hi)
     full = bad | (hi - lo >= 1.0)
     lo = np.where(bad, 0.0, lo)
@@ -62,12 +75,15 @@ def _axis_segments(lo: np.ndarray, hi: np.ndarray, size: int):
     f0 = lo - np.floor(lo)
     f1 = hi - np.floor(hi)
     scale = size - 1
+    err = np.maximum(np.abs(lo), np.abs(hi)) * 4e-6 + 1e-6
 
     def rng(a, b):
-        x0 = np.clip(np.floor(a * scale).astype(np.int64), 0, size - 1)
+        # -1: one-texel slack for f32 rounding of the interpolated uv;
+        # +1: bilinear upper texel (upward slack rides on it).
+        x0 = np.clip(np.floor(a * scale).astype(np.int64) - 1, 0, size - 1)
         x1 = np.clip(
             np.floor(b * scale).astype(np.int64) + 1, 0, size - 1
-        )  # +1: bilinear upper texel
+        )
         return x0, x1
 
     one = f1 >= f0
@@ -75,8 +91,21 @@ def _axis_segments(lo: np.ndarray, hi: np.ndarray, size: int):
     a1, b1 = rng(np.zeros_like(f1), f1)
     a0 = np.where(full, 0, a0)
     b0 = np.where(full, size - 1, b0)
-    use1 = ~one & ~full
-    return a0, b0, a1, b1, use1
+    always = np.ones_like(full)
+    segs = [(a0, b0, always), (a1, b1, ~one & ~full)]
+    # Cross-period f32 slack: endpoint within err of an integer.
+    zero_i = np.zeros_like(a0)
+    last = np.full_like(a0, size - 1)
+    wrap_hi = ((1.0 - f1) <= err) & ~full  # frac -> 0: texels [0, 1]
+    segs.append((zero_i, np.minimum(zero_i + 1, last), wrap_hi))
+    # frac -> ~1: texels [size-2, size-1]. Only boundaries >= 1 can be
+    # crossed downward: the gate's uv is a sum of products of NONNEGATIVE
+    # f32 values (barycentric weights x corner uvs), which cannot round
+    # below 0 — so cells sitting exactly at uv == 0 (every atlas edge)
+    # keep their tight footprint and the cull stays effective there.
+    wrap_lo = (f0 <= err) & (np.floor(lo) >= 1.0) & ~full
+    segs.append((np.maximum(last - 1, zero_i), last, wrap_lo))
+    return segs
 
 
 def bake_tri_masks(uv: np.ndarray, tri_mat: np.ndarray,
@@ -132,23 +161,8 @@ def bake_tri_masks(uv: np.ndarray, tri_mat: np.ndarray,
         c11 = cu[:, 1:, 1:]
         lo = np.minimum(np.minimum(c00, c10), np.minimum(c01, c11))
         hi = np.maximum(np.maximum(c00, c10), np.maximum(c01, c11))
-        # The bake footprint uses exact float64 cell-corner uvs, but the
-        # kernels and the host gate interpolate uv in f32: a hit uv can
-        # round a few ulps OUTSIDE the exact span (e.g. up to exactly 1.0
-        # where frac() wraps to texel 0, which the exact bbox never
-        # covered). Expand in the safe (over-inclusive) direction by a
-        # generous f32-error margin so every f32-reachable sample is
-        # inside the footprint; over-inclusion only keeps extra bits ON,
-        # which preserves exactness of the cull.
-        eps = np.maximum(np.abs(lo), np.abs(hi)) * 4e-6 + 1e-6
-        lo = lo - eps
-        hi = hi + eps
-        ra0, rb0, ra1, rb1, ruse1 = _axis_segments(
-            lo[..., 1], hi[..., 1], h
-        )
-        ca0, cb0, ca1, cb1, cuse1 = _axis_segments(
-            lo[..., 0], hi[..., 0], w
-        )
+        row_segs = _axis_segments(lo[..., 1], hi[..., 1], h)
+        col_segs = _axis_segments(lo[..., 0], hi[..., 0], w)
 
         def box_any(r0, r1, c0, c1):
             return (
@@ -156,10 +170,10 @@ def bake_tri_masks(uv: np.ndarray, tri_mat: np.ndarray,
                 + s[r0, c0]
             ) > 0
 
-        any_nz = box_any(ra0, rb0, ca0, cb0)
-        any_nz |= cuse1 & box_any(ra0, rb0, ca1, cb1)
-        any_nz |= ruse1 & box_any(ra1, rb1, ca0, cb0)
-        any_nz |= ruse1 & cuse1 & box_any(ra1, rb1, ca1, cb1)
+        any_nz = np.zeros(lo.shape[:-1], bool)
+        for r0, r1, ru in row_segs:
+            for c0, c1, cu in col_segs:
+                any_nz |= ru & cu & box_any(r0, r1, c0, c1)
 
         # Pack [m, G, G] -> two u32 words (bit index iu*GRID + iv).
         bits = any_nz.reshape(len(sel), GRID * GRID).astype(np.uint64)

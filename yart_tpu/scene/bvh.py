@@ -43,12 +43,14 @@ def build_bvh(
     v2: np.ndarray,
     max_leaf: int = 4,
     n_bins: int = 20,
+    leaf_cost_test: bool = False,
 ) -> HostBVH:
     """Build from triangle vertex positions [T, 3] each."""
     tri_lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     cent = ((v0 + v1 + v2) / 3.0).astype(np.float32)
-    return build_bvh_boxes(tri_lo, tri_hi, cent, max_leaf, n_bins)
+    return build_bvh_boxes(tri_lo, tri_hi, cent, max_leaf, n_bins,
+                           leaf_cost_test)
 
 
 def build_bvh_boxes(
@@ -57,6 +59,7 @@ def build_bvh_boxes(
     cent: np.ndarray = None,
     max_leaf: int = 4,
     n_bins: int = 20,
+    leaf_cost_test: bool = False,
 ) -> HostBVH:
     """Build over arbitrary primitive AABBs [T, 3] (used both for triangles
     and for the coarse cluster-level BVH of the bin-trace pipeline)."""
@@ -91,11 +94,24 @@ def build_bvh_boxes(
         node_max[node] = hi.max(axis=0)
 
         if span <= max_leaf:
-            left[node] = first
-            count[node] = span
-            continue
-
-        split = _sah_split(cent[idx], lo, hi, n_bins, span)
+            # Fixed-cap rule (default): always leaf — the device leaf test
+            # is fixed-width so fatter leaves cost nothing extra per visit.
+            # leaf_cost_test additionally applies the REFERENCE's rule
+            # (bvh.hpp:341-345): below the cap, still SPLIT when the SAH
+            # says traversing two children beats testing all span
+            # triangles — deeper trees, thinner leaves. Measured on the
+            # 132k-tri scene by tools/diag_leafrule.py.
+            do_leaf = True
+            if leaf_cost_test and span > 1:
+                split = _sah_split(cent[idx], lo, hi, n_bins, span)
+                if split is not None:
+                    do_leaf = False
+            if do_leaf:
+                left[node] = first
+                count[node] = span
+                continue
+        else:
+            split = _sah_split(cent[idx], lo, hi, n_bins, span)
         if split is None:
             # Degenerate (all centroids equal): median split
             # (reference fallback, bvh.hpp:159-161).
