@@ -72,9 +72,14 @@ class RenderConfig:
     # geometry derivatives; visibility stays detached (render/diff.py).
     diff_geometry: bool = False
     # Backward-pass remat policy: "trace" saves traversal outputs across
-    # the per-bounce checkpoint; "trace_lut" also saves LUT/texture/env
-    # lookups; "all" saves everything (no re-forward, HBM-bound).
-    remat: str = "trace"
+    # the per-bounce checkpoint; "trace_lut" also saves LUT/texture
+    # fetches; "all" saves everything (no re-forward, HBM-bound).
+    # Measured (tools/diag_bwd.py, chip): trace_lut cuts the cornell
+    # backward overhead 17.1 -> 11.2 ms on an 18 ms forward (+20%
+    # fwd+bwd throughput) and also wins on the atrium; "all" is 3x
+    # WORSE (the saved-residual HBM traffic dominates). Residual cost:
+    # ~20 f32/lane/bounce.
+    remat: str = "trace_lut"
 
 
 @dataclasses.dataclass(frozen=True)
