@@ -316,11 +316,30 @@ def load_tables():
 from yart_tpu.ops.gatherless import fetch_1d_ref, fetch_2d_ref, fetch_3d_ref
 
 
+# Trace-time flag: the integrator arms it ONLY while tracing the
+# differentiable path (render/integrator.py named_residuals()).
+# checkpoint_name is semantically identity, but it is also an XLA
+# optimization barrier — leaving it in the non-diff forward path
+# measured -17% on the cornell wave (BASELINE.md round 4).
+_NAME_RESIDUALS = False
+
+
+class named_residuals:
+    def __enter__(self):
+        global _NAME_RESIDUALS
+        self._prev = _NAME_RESIDUALS
+        _NAME_RESIDUALS = True
+
+    def __exit__(self, *exc):
+        global _NAME_RESIDUALS
+        _NAME_RESIDUALS = self._prev
+
+
 def _named(x):
-    # checkpoint_name: identity outside jax.checkpoint; under the
-    # integrator's per-bounce remat with cfg.remat="trace_lut" these
-    # fetch outputs are saved as residuals so the backward re-forward
-    # skips the hat-weight contractions (render/integrator.py).
+    # Saved as a remat residual under cfg.remat="trace_lut" so the
+    # backward re-forward skips the hat-weight contractions.
+    if not _NAME_RESIDUALS:
+        return x
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(x, "lut")

@@ -163,15 +163,22 @@ def geometry_grads(
     asset normals, which are not derived from positions at render time);
     differentiate them via the shade_pack columns if needed.
     """
-    if meta.n_instances:
-        raise NotImplementedError(
-            "geometry_grads: instanced scenes share object-space prototype "
-            "packs; bake the scene (instanced=False) to differentiate "
-            "world-space positions"
-        )
     import dataclasses
 
     cfg = dataclasses.replace(cfg, diff_geometry=True)
+
+    if meta.n_instances:
+        # Instanced: differentiate the shared OBJECT-space prototype
+        # vertices (scene.proto_pos); gradients accumulate across every
+        # instance of each prototype (integrator._refit_hit).
+        def loss(proto_pos):
+            s = scene._replace(proto_pos=proto_pos)
+            radiance, _ = render_image_diff(
+                s, meta, cam, sampler, cfg, px, py, sample_idx
+            )
+            return loss_fn(radiance)
+
+        return jax.value_and_grad(loss)(scene.proto_pos)
 
     def loss(positions):
         s = scene._replace(positions=positions)

@@ -311,12 +311,39 @@ def _refit_hit(scene: CompiledScene, meta: SceneMeta, hit, o, d):
 
     Diff-mode only: the three per-lane vertex gathers are ~10 ns/row each
     at wavefront scale — acceptable off the hot path.
+
+    Instanced scenes: the hit triangle resolves through tri_aux to the
+    shared OBJECT-space prototype vertices (scene.proto_pos/proto_tri —
+    leaf-ordered, indexed by the shade-row id) and the instance forward
+    transform maps them to world space, so gradients flow to the shared
+    prototype geometry (accumulated over every instance) and, if
+    differentiated, to the instance transform rows themselves.
     """
     tri = lax.stop_gradient(jnp.clip(hit.tri, 0, meta.n_tris - 1))
-    idx = lax.stop_gradient(scene.tri_v[tri])  # [N, 3]
-    v0 = scene.positions[idx[:, 0]]
-    v1 = scene.positions[idx[:, 1]]
-    v2 = scene.positions[idx[:, 2]]
+    if meta.n_instances:
+        aux = lax.stop_gradient(scene.tri_aux[tri])  # [N, 8]
+        idx = lax.stop_gradient(scene.proto_tri[aux[:, 0]])  # [N, 3]
+        irow = scene.inst_rows[aux[:, 1]]  # [N, 40] fwd 3x4 at 12:24
+
+        def to_world(vo):
+            f = irow[:, 12:24]
+            return jnp.stack(
+                [
+                    jnp.sum(f[:, 0:3] * vo, axis=-1) + f[:, 3],
+                    jnp.sum(f[:, 4:7] * vo, axis=-1) + f[:, 7],
+                    jnp.sum(f[:, 8:11] * vo, axis=-1) + f[:, 11],
+                ],
+                axis=-1,
+            )
+
+        v0 = to_world(scene.proto_pos[idx[:, 0]])
+        v1 = to_world(scene.proto_pos[idx[:, 1]])
+        v2 = to_world(scene.proto_pos[idx[:, 2]])
+    else:
+        idx = lax.stop_gradient(scene.tri_v[tri])  # [N, 3]
+        v0 = scene.positions[idx[:, 0]]
+        v1 = scene.positions[idx[:, 1]]
+        v2 = scene.positions[idx[:, 2]]
     e1 = v1 - v0
     e2 = v2 - v0
     pv = jnp.cross(d, e2)
@@ -439,12 +466,6 @@ def li(
                 lambda x: checkpoint_name(x, "trace"), hit
             )
             if cfg.diff_geometry:
-                if meta.n_instances:
-                    raise NotImplementedError(
-                        "diff_geometry: instanced scenes index virtual "
-                        "triangles; bake the scene (instanced=False) to "
-                        "differentiate geometry"
-                    )
                 hit = _refit_hit(scene, meta, hit, st.o, st.d)
         found = hit.mask & st.active
 
@@ -648,10 +669,21 @@ def li(
             )
         else:
             policy = jax.checkpoint_policies.save_only_these_names("trace")
-        st, _ = lax.scan(
-            jax.checkpoint(scan_body, prevent_cse=False, policy=policy),
-            st, None, length=cfg.max_depth,
+        import contextlib
+
+        ctx = (
+            lut.named_residuals()
+            if cfg.remat == "trace_lut"
+            else contextlib.nullcontext()
         )
+        with ctx:
+            # Arm the 'lut' checkpoint_name sites only while TRACING the
+            # differentiable scan: the name op is an XLA optimization
+            # barrier and measurably slows the plain forward path.
+            st, _ = lax.scan(
+                jax.checkpoint(scan_body, prevent_cse=False, policy=policy),
+                st, None, length=cfg.max_depth,
+            )
     else:
         st = lax.while_loop(cond, body, st)
     return st.L, st.rays

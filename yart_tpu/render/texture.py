@@ -72,8 +72,12 @@ def sample_stack(stack: TextureStack, idx, uv):
     out = (s00 * (1 - fv) + s01 * fv) * (1 - fu) + (s10 * (1 - fv) + s11 * fv) * fu
     out = jnp.where((idx >= 0)[..., None], out, 0.0)
     # Saved across the per-bounce remat under cfg.remat="trace_lut"
-    # (render/integrator.py): the quad-row gather + bilinear mix is the
-    # per-bounce cost worth not re-running in the backward sweep.
+    # (diff mode only — the name op is an XLA optimization barrier, so
+    # the non-diff forward path must not carry it; ops/lut.py).
+    from yart_tpu.ops import lut as _lut
+
+    if not _lut._NAME_RESIDUALS:
+        return out
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(out, "lut")

@@ -968,6 +968,33 @@ class SceneBuilder:
             clus_inst=jnp.asarray(ic_inst),
             clus_fid=jnp.asarray(ic_fid),
             inst_flat=jnp.asarray(inst_flat),
+            # diff_geometry for instanced scenes (integrator._refit_hit):
+            # shared object-space prototype vertices + leaf-ordered
+            # triangles concatenated per proto — tri_aux col 0 (the shade
+            # row) indexes this space directly, and vertex grads
+            # accumulate across every instance of a prototype.
+            proto_pos=jnp.asarray(
+                np.concatenate(
+                    [np.asarray(ps.positions) for ps in proto_scenes]
+                ),
+                jnp.float32,
+            ),
+            proto_tri=jnp.asarray(
+                np.concatenate([
+                    np.asarray(ps.tri_v)
+                    + np.int32(base)
+                    for ps, base in zip(
+                        proto_scenes,
+                        np.concatenate(
+                            [[0], np.cumsum([
+                                int(ps.positions.shape[0])
+                                for ps in proto_scenes
+                            ])]
+                        )[:-1],
+                    )
+                ]),
+                jnp.int32,
+            ),
         )
         meta = SceneMeta(
             n_tris=n_virt,

@@ -179,6 +179,12 @@ class CompiledScene(NamedTuple):
     clus_inst: object = None  # [n_ic_pad] i32 instance per instance-cluster
     clus_fid: object = None  # [n_ic_pad] i32 first GLOBAL tri per ic
     inst_flat: object = None  # [I * 12] f32 inverse 3x4 rows (SMEM)
+    # Differentiable-geometry support for instanced scenes (diff mode
+    # only; integrator._refit_hit): shared OBJECT-space prototype
+    # vertices + concatenated proto triangles, so vertex gradients
+    # accumulate across every instance of a prototype.
+    proto_pos: object = None  # [sum V_p, 3] f32 object-space vertices
+    proto_tri: object = None  # [sum T_p, 3] i32 into proto_pos
 
 
 @dataclasses.dataclass(frozen=True)
