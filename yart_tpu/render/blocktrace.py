@@ -63,6 +63,11 @@ TRACE_GROUPS = int(os.environ.get("YART_TRACE_GROUPS", "1"))
 # queues with >= that many clusters left (protects light blocks).
 TRACE_REKEY = int(os.environ.get("YART_TRACE_REKEY", "2"))
 TRACE_MINLEFT = int(os.environ.get("YART_TRACE_MINLEFT", "8"))
+# Gated-loop tail compaction buffer = n // TRACE_CAPDIV (render/blocktrace
+# intersect_blocktrace_gated). The flagship ivy cast ladder decays 524k ->
+# 80k -> 28k: n/6 captures the survivors after ONE full-width cast where
+# n/8 (80k > 65k) forced a second.
+TRACE_CAPDIV = int(os.environ.get("YART_TRACE_CAPDIV", "6"))
 
 
 def _n_clus(meta) -> int:
@@ -590,7 +595,7 @@ def intersect_blocktrace_gated(
             blk, t_min, interpret,
         )
 
-    cap = -(-(n // 8) // blk) * blk
+    cap = -(-(n // TRACE_CAPDIV) // blk) * blk
     compact = fused and cap >= blk and cap < n
     state0 = (zero_hit, jnp.ones((n,), bool), jnp.zeros((n,), jnp.float32),
               jnp.asarray(0, jnp.int32))
