@@ -68,6 +68,22 @@ TRACE_MINLEFT = int(os.environ.get("YART_TRACE_MINLEFT", "8"))
 # 80k -> 28k: n/6 captures the survivors after ONE full-width cast where
 # n/8 (80k > 65k) forced a second.
 TRACE_CAPDIV = int(os.environ.get("YART_TRACE_CAPDIV", "6"))
+# Presort kernel block multiplier — MEASURED A LOSS at >1 and kept as
+# the reproducible record: the hypothesis was that the presort's ~7.9
+# ms/invocation (11% of the atrium wave) was grid-step overhead (4096
+# steps at 524k lanes / 128), so wider blocks would amortize it; but
+# mult=4 measured 2.085 vs 2.202 Mrays/s on the atrium wave — the
+# [512, cpad] sweep ops cost more than the steps saved (same row-axis
+# plateau as the t-loop, BASELINE.md round 3). Outputs are per-ray and
+# identical for any mult.
+TRACE_PRESORT_MULT = int(os.environ.get("YART_TRACE_PRESORT_MULT", "1"))
+
+
+def _presort_block(np_: int, block: int) -> int:
+    for m in (TRACE_PRESORT_MULT, 2, 1):
+        if np_ % (m * block) == 0:
+            return m * block
+    return block
 
 
 def _n_clus(meta) -> int:
@@ -97,7 +113,7 @@ def _cluster_key(scene, meta, o, d, t_max_v, floor_v, t_min, block,
         )
     out = presort_keys_pallas(
         rays, scene.clus_box, _n_clus(meta), t_min,
-        block=block, interpret=interpret,
+        block=_presort_block(rays.shape[0], block), interpret=interpret,
     )
     return out[:n, 0].astype(jnp.uint32)
 
@@ -177,7 +193,7 @@ def _fused_order(scene, meta, o, d, t_max_v, floor_v, block: int,
     np_ = n + pad
     pk = presort_keys_pallas(
         rays, scene.clus_box, _n_clus(meta), t_min,
-        block=block, interpret=interpret,
+        block=_presort_block(np_, block), interpret=interpret,
     )
     key = pk[:, 0].astype(jnp.uint32)
     key2 = pk[:, 6].astype(jnp.uint32)
@@ -283,7 +299,7 @@ def intersect_blocktrace(
         else:
             pk = presort_keys_pallas(
                 rays, scene.clus_box, _n_clus(meta), t_min,
-                block=block, interpret=interpret,
+                block=_presort_block(np_, block), interpret=interpret,
             )
             key = pk[:, 0].astype(jnp.uint32)
             key2 = pk[:, 6].astype(jnp.uint32)
