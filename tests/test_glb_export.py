@@ -42,6 +42,15 @@ def _build_scene():
     )
     m_cut = b.add_material(roughness=0.8, tex_base=t_cut, has_alpha=True)
     m_lamp = b.add_material(emission=(4.0, 3.0, 2.0), emission_strength=2.0)
+    m_coat = b.add_material(
+        base_color=(0.6, 0.05, 0.05, 1.0), roughness=0.4, clearcoat=0.8,
+        cc_roughness=0.1,
+    )
+    m_vol = b.add_material(
+        base_color=(1, 1, 1, 1), transmission=1.0, roughness=0.02,
+        ior=1.5, thin=False, volume_color=(0.9, 0.6, 0.3),
+        volume_density=2.0,
+    )
 
     quad = np.asarray(
         [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], np.float32
@@ -59,6 +68,10 @@ def _build_scene():
     b.add_mesh(cut, qidx, m_cut, uvs=quv)
     lamp = quad * 0.25 + np.asarray([[0.0, 2.2, 0.0]], np.float32)
     b.add_mesh(lamp, qidx[:, ::-1], m_lamp, uvs=quv)
+    pos, nrm, tri = uv_sphere((-1.2, 0.5, -0.5), 0.3, n_theta=6, n_phi=8)
+    b.add_mesh(pos, tri, m_coat, normals=nrm)
+    pos, nrm, tri = uv_sphere((1.2, 0.5, -0.8), 0.3, n_theta=6, n_phi=8)
+    b.add_mesh(pos, tri, m_vol, normals=nrm)
     return b
 
 
@@ -92,6 +105,17 @@ def test_roundtrip_geometry_and_materials(tmp_path):
         ea = np.asarray(ma.emission) * ma.emission_strength
         eb = np.asarray(mb.emission) * mb.emission_strength
         np.testing.assert_allclose(ea, eb, rtol=1e-5, atol=1e-6)
+        assert abs(ma.clearcoat - mb.clearcoat) < 1e-6
+        if ma.clearcoat > 0:  # cc_roughness inert (loader floors it) else
+            assert abs(ma.cc_roughness - mb.cc_roughness) < 1e-6
+        np.testing.assert_allclose(
+            ma.volume_color, mb.volume_color, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            ma.volume_density, mb.volume_density, rtol=1e-6, atol=1e-9
+        )
+        if ma.volume_density > 0:
+            assert not mb.thin  # volume implies solid transmission
 
 
 def test_roundtrip_render_matches(tmp_path):

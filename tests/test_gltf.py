@@ -141,7 +141,13 @@ def test_glb_load(tmp_path):
     np.testing.assert_allclose(float(m.anisotropic[0]), 0.6, atol=1e-6)
     # radians, passed through unconverted (gltf.cpp:108-113)
     np.testing.assert_allclose(float(m.aniso_rotation[0]), 0.9, atol=1e-6)
-    assert bool(m.thin[0])  # gltf.cpp:104-105 hardcodes thin
+    # Deliberate divergence (round 4): the reference hardcodes
+    # thinTransmission=true for ALL gltf materials (gltf.cpp:104-105),
+    # which silently disables its own KHR_materials_volume import —
+    # Beer-Lambert attenuation needs interior path length that thin
+    # transmission never has. This material HAS a volume ext, so the
+    # loader makes it solid; volume-free materials stay thin.
+    assert not bool(m.thin[0])
 
     # Light power: area of 2x2 quad = 4, split into 2 tris of 2 each;
     # power = |Le| * A * pi (light.cpp:36-38)

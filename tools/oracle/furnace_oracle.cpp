@@ -592,6 +592,8 @@ static int benchGlbMain(int argc, char** argv) {
       nrmTex = texCache[ti].normal;
     }
     float ior = 1.5f, transmission = 0.0f, emStrength = 1.0f;
+    float clearcoat = 0.0f, ccRoughness = 0.0f, volDensity = 0.0f;
+    float3 volColor(1.0f);
     if (const glbb::JVal* ex = jm.find("extensions")) {
       if (const glbb::JVal* e = ex->find("KHR_materials_ior"))
         ior = e->numOr("ior", 1.5);
@@ -599,15 +601,30 @@ static int benchGlbMain(int argc, char** argv) {
         transmission = e->numOr("transmissionFactor", 0.0);
       if (const glbb::JVal* e = ex->find("KHR_materials_emissive_strength"))
         emStrength = e->numOr("emissiveStrength", 1.0);
+      if (const glbb::JVal* e = ex->find("KHR_materials_clearcoat")) {
+        clearcoat = e->numOr("clearcoatFactor", 0.0);
+        ccRoughness = e->numOr("clearcoatRoughnessFactor", 0.0);
+      }
+      if (const glbb::JVal* e = ex->find("KHR_materials_volume")) {
+        // gltf.cpp:166-173 mapping: density = 1 / attenuationDistance
+        if (const glbb::JVal* ac = e->find("attenuationColor"))
+          volColor = float3(ac->arr[0].num, ac->arr[1].num, ac->arr[2].num);
+        double ad = e->numOr("attenuationDistance", 0.0);
+        if (ad > 0.0) volDensity = float(1.0 / ad);
+      }
     }
     float3 emission(0.0f);
     if (const glbb::JVal* ef = jm.find("emissiveFactor"))
       emission = float3(ef->arr[0].num, ef->arr[1].num, ef->arr[2].num) *
                  emStrength;
+    // thinTransmission matches gltf.cpp:104-105 EXCEPT with a volume:
+    // Beer-Lambert attenuation needs solid transmission (mirrors our
+    // builder's volume semantics for the roadster-class materials).
+    bool thin = volDensity <= 0.0f;
     scene.addMaterial(std::unique_ptr<BSDF>(new ParametricBSDF(
         base, baseTex, mrTex, nullptr, nrmTex, nullptr, nullptr, metallic,
-        roughness, transmission, ior, 0.0f, 0.0f, 0.0f, 0.0f, emission,
-        1.0f, /*thinTransmission=*/true, float3(1), 0.0f)));
+        roughness, transmission, ior, 0.0f, 0.0f, clearcoat, ccRoughness,
+        emission, 1.0f, thin, volColor, volDensity)));
     (void)normalScale;  // the reference ctor takes normalScale positionally
   }
 

@@ -165,6 +165,16 @@ def export_glb(builder, path: str) -> dict:
             exts["KHR_materials_transmission"] = {
                 "transmissionFactor": float(m.transmission)
             }
+        if m.clearcoat > 0:
+            exts["KHR_materials_clearcoat"] = {
+                "clearcoatFactor": float(m.clearcoat),
+                "clearcoatRoughnessFactor": float(m.cc_roughness),
+            }
+        if m.volume_density > 0:
+            exts["KHR_materials_volume"] = {
+                "attenuationColor": [float(c) for c in m.volume_color],
+                "attenuationDistance": float(1.0 / m.volume_density),
+            }
         if exts:
             mat["extensions"] = exts
             used_exts.update(exts)

@@ -293,6 +293,14 @@ def load(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
             desc.volume_color = tuple(vol.get("attenuationColor", [1, 1, 1]))
             att_dist = vol.get("attenuationDistance", float("inf"))
             desc.volume_density = 1.0 / att_dist if att_dist > 0 else 0.0
+            if desc.volume_density > 0.0:
+                # Beer-Lambert attenuation accrues over interior path
+                # length, which thin transmission never has: a volume
+                # implies solid transmission (the reference hardcodes
+                # thinTransmission=true for ALL gltf materials,
+                # gltf.cpp:104-105, which silently disables its own
+                # KHR_volume import — deliberate divergence).
+                desc.thin = False
 
         mat_ids.append(b.add_material_desc(desc))
 
