@@ -85,8 +85,11 @@ MAX_ITERS = 1 << ID_BITS  # safety cap == max clusters
 
 # Cluster packs up to this size stay VMEM-resident for the whole grid
 # (dynamic-slice reads instead of per-iteration DMAs); bigger scenes
-# stream clusters from HBM with double-buffered copies.
-VMEM_PACK_BYTES = 64 << 20
+# stream clusters from HBM with double-buffered copies. 88 MB covers
+# Bistro-scale scenes (~900k tris at C=128; a 489k-tri atrium(density=2)
+# pack is 70 MB and measured FASTER resident than streamed) while
+# leaving ~40 MB of the v5e's VMEM for the kernel working set.
+VMEM_PACK_BYTES = 88 << 20
 
 
 def _proj(o, d, tri, mxu: bool):
@@ -539,9 +542,23 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
             cond, outer_body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
         )
     else:
-        n_it, _, _, t_bits_f, cid_best = lax.while_loop(
+        n_it, m_f, _, t_bits_f, cid_best = lax.while_loop(
             cond, body, (jnp.int32(0), m0, key_row, t_bits0, cid0)
         )
+        if not pack_vmem:
+            # Drain the look-ahead copy: the t-loop can exit EARLY
+            # (improvable false / MAX_ITERS) right after `body` started
+            # the NEXT candidate's DMA. Leaving it in flight corrupts the
+            # semaphore for the winners loop / the next grid step —
+            # observed as data-dependent FAILED_PRECONDITION / INTERNAL
+            # TPU errors on Bistro-scale (>64 MB pack) scenes; the
+            # sphere-field tests never tripped it because with t_max huge
+            # their blocks always drain the queue (exit via KEY_DEAD,
+            # which starts nothing). Slot (n_it % 2) is where iteration
+            # n_it-1 (or the pre-loop start when n_it == 0) put it.
+            @pl.when(m_f != KEY_DEAD)
+            def _():
+                dma(n_it % 2, m_f & ID_MASK).wait()
 
     if ablate == 2:  # sweep + t-loop, no winners epilogue
         out_ref[0] = jnp.concatenate(
