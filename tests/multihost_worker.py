@@ -52,8 +52,59 @@ def main():
     r = Renderer(scene, meta, cam, cfg, devices="all")
     assert r.n_devices == 4
     res = r.render()
+
+    # Cross-process material grads: lane-sharded loss over the 2-process
+    # mesh, replicated parameter — XLA inserts the grad psum across
+    # processes (the DCN analog of the BASELINE.json north star).
+    import jax.numpy as jnp
+
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.parallel.sharding import (
+        device_put_lanes,
+        device_put_replicated,
+        make_mesh,
+        replicate,
+        shard_lanes,
+    )
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+
+    mesh = make_mesh()
+    cfg_d = RenderConfig(samples=2, max_depth=3, rr_start_depth=99)
+    cam_p = build_camera(cam)
+    sampler = make_sampler(cfg_d.sampler, cfg_d.samples, (16, 16),
+                           cfg_d.seed)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = np.repeat(xx.reshape(-1), 2).astype(np.int32)
+    py = np.repeat(yy.reshape(-1), 2).astype(np.int32)
+    sidx = np.tile(np.arange(2), 256).astype(np.uint32)
+    pxs, pys, sidxs = device_put_lanes(mesh, px, py, sidx)
+    host_scene = jax.tree_util.tree_map(np.asarray, scene)
+    scene_r = device_put_replicated(mesh, host_scene)
+    bc = jax.device_put(
+        np.asarray(scene.materials.base_color), replicate(mesh)
+    )
+
+    def loss(bc, s, px, py, sidx):
+        s = s._replace(materials=s.materials._replace(base_color=bc))
+        rad, _ = render_wave(
+            s, meta, cam_p, sampler, cfg_d, px, py, sidx,
+            differentiable=True,
+        )
+        return jnp.mean(rad)
+
+    vg = jax.jit(
+        jax.value_and_grad(loss),
+        in_shardings=(replicate(mesh), replicate(mesh))
+        + (shard_lanes(mesh),) * 3,
+    )
+    val, g = vg(bc, scene_r, pxs, pys, sidxs)
+    assert g.sharding.is_fully_replicated
+    g_np = np.asarray(g)
+
     if pid == 0:
-        np.savez(out, hdr=res.hdr, rays=res.total_rays)
+        np.savez(out, hdr=res.hdr, rays=res.total_rays,
+                 grad=g_np, loss=float(val))
     # Keep the coordinator alive until everyone is done.
     from jax.experimental import multihost_utils
 

@@ -61,6 +61,8 @@ def test_two_process_render_matches_single(tmp_path):
     with np.load(out) as z:
         hdr_mh = z["hdr"]
         rays_mh = float(z["rays"])
+        grad_mh = z["grad"]
+        loss_mh = float(z["loss"])
 
     scene, meta = cornell_box().compile()
     cam = CameraConfig(image_size=(16, 16))
@@ -69,3 +71,38 @@ def test_two_process_render_matches_single(tmp_path):
 
     np.testing.assert_array_equal(hdr_mh, res.hdr)
     assert rays_mh == res.total_rays
+
+    # Cross-process grad psum equals the single-process gradient.
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+
+    cfg_d = RenderConfig(samples=2, max_depth=3, rr_start_depth=99)
+    cam_p = build_camera(cam)
+    sampler = make_sampler(cfg_d.sampler, cfg_d.samples, (16, 16),
+                           cfg_d.seed)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), 2), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), 2), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(2), 256), jnp.uint32)
+
+    def loss(bc):
+        s = scene._replace(
+            materials=scene.materials._replace(base_color=bc)
+        )
+        rad, _ = render_wave(
+            s, meta, cam_p, sampler, cfg_d, px, py, sidx,
+            differentiable=True,
+        )
+        return jnp.mean(rad)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss))(
+        scene.materials.base_color
+    )
+    np.testing.assert_allclose(loss_mh, float(l1), rtol=1e-6)
+    np.testing.assert_allclose(
+        grad_mh, np.asarray(g1), rtol=2e-5, atol=1e-7
+    )
