@@ -50,7 +50,7 @@ R1_SEED = {"bigscene_closest_hit": 0.51, "cornell_mis": 13.44}
 # atrium-ivy 0.26 (BASELINE.md round-4 section).
 REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39,
              "cornell_mis": 4.31, "atrium_wave": 1.02,
-             "atrium_ivy_wave": 0.75}
+             "atrium_ivy_wave": 0.75, "roadster_wave": 2.06}
 
 
 def bench_bigscene(results):
@@ -400,6 +400,63 @@ def bench_atrium_ivy(results):
     results["atrium_ivy_wave"] = rays_total / (time.time() - t0) / 1e6
 
 
+def bench_roadster(results):
+    """Clearcoat + volumetric-glass flagship class (the reference's
+    McLaren analog): 45k tris, chrome, Beer-Lambert canopy. Reference
+    comparator measured by `oracle benchglb` on the GLB-exported scene
+    (BASELINE.md round 4): 0.61 / 2.06 Mrays/s at 1 / 4 threads."""
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.config import CameraConfig, RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+    from yart_tpu.scene.showcase import roadster
+
+    size = (256, 256)
+    spp = 8
+    scene, meta = roadster().compile()
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=35.0, position=(4.4, 1.7, 5.0),
+        forward=(-4.4, -1.2, -5.0), exposure=1.0,
+    ))
+    cfg = RenderConfig(samples=spp, max_depth=8)
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    w, h = size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidxs = [
+        jnp.asarray(np.roll(np.tile(np.arange(spp), h * w), r), jnp.uint32)
+        for r in range(4)
+    ]
+    KW = 3
+
+    @jax.jit
+    def fk(s, px, py, sidx):
+        total = jnp.zeros((), jnp.float32)
+        rad = None
+        for i in range(KW):
+            si = sidx if rad is None else (
+                sidx + total.astype(jnp.uint32) + jnp.uint32(i)
+            ) % jnp.uint32(spp)
+            rad, rays = render_wave(s, meta, cam, sampler, cfg, px, py, si)
+            total = total + rays.astype(jnp.float32)
+        return rad, total
+
+    out, total = fk(scene, px, py, sidxs[0])
+    float(jnp.sum(out[:8]))
+    reps = 3
+    t0 = time.time()
+    rays_total = 0.0
+    for r in range(reps):
+        out, total = fk(scene, px, py, sidxs[1 + r])
+        float(jnp.sum(out[:8]))
+        rays_total += float(total)
+    results["roadster_wave"] = rays_total / (time.time() - t0) / 1e6
+
+
 def bench_shade_kernel(results):
     """Fused shade path (kernels/pallas_shade.py + shade_math.py) on the
     cornell wave — cornell_mis_shade_{xla,pallas} Mrays/s vs the classic
@@ -529,7 +586,8 @@ def main():
     results = {}
     errors = {}
     sections = [("bigscene", bench_bigscene), ("cornell", bench_cornell),
-                ("atrium", bench_atrium), ("atrium_ivy", bench_atrium_ivy)]
+                ("atrium", bench_atrium), ("atrium_ivy", bench_atrium_ivy),
+                ("roadster", bench_roadster)]
     if os.environ.get("YART_BENCH_SHADE"):
         sections.append(("shade", bench_shade_kernel))
     for name, fn in sections:
