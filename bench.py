@@ -11,8 +11,11 @@ the fused one-pass block traversal (kernels/pallas_fusedtrace.py).
 Sub-metrics (BENCH_DETAIL.json):
 - bigscene_closest_hit / bigscene_coherent: Mrays/s, 132k tris, 262k rays
 - cornell_mis: full MIS wavefront Mrays/s (round-1 primary, for trend)
-- cornell_fwdbwd: rays/s through value_and_grad of the differentiable
-  renderer (the project metric is fwd+bwd rays/s, BASELINE.json)
+- cornell_fwdbwd / atrium_fwdbwd: rays/s through value_and_grad of the
+  differentiable renderer (the project metric is fwd+bwd rays/s)
+- atrium_wave / atrium_ivy_wave / roadster_wave: flagship-scene waves,
+  each with a same-machine reference comparator measured by the
+  reference's own integrator on GLB-exported scenes (vs_reference_cpu)
 
 vs_baseline compares each metric against BASELINE_LOCAL.json (previous
 runs; the reference itself publishes no numbers, BASELINE.md).
