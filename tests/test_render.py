@@ -227,3 +227,29 @@ def test_chunk_pipeline_and_callbacks(cornell_scene):
         assert res.samples_taken == ref.samples_taken
         # 2 waves x 4 chunks, in order within each wave
         assert chunks == [(w, c) for w in range(2) for c in range(4)]
+
+
+def test_radiance_clamp(cornell_scene):
+    """cfg.clamp bounds per-sample radiance (firefly knob): a clamp at 0
+    gives a black image, a huge clamp changes nothing, and a mid clamp
+    never exceeds the bound on a tonemap-free mean render."""
+    import dataclasses
+
+    scene, meta = cornell_scene
+    base = RenderConfig(samples=4, max_depth=3, tonemap="none",
+                        estimator="mean", first_wave_samples=4)
+    cam = cornell_cam(12)
+    ref = Renderer(scene, meta, cam, base).render()
+    hi = Renderer(
+        scene, meta, cam, dataclasses.replace(base, clamp=1e9)
+    ).render()
+    np.testing.assert_array_equal(hi.hdr, ref.hdr)
+    zero = Renderer(
+        scene, meta, cam, dataclasses.replace(base, clamp=0.0)
+    ).render()
+    assert np.all(zero.hdr == 0.0)
+    mid = Renderer(
+        scene, meta, cam, dataclasses.replace(base, clamp=0.5)
+    ).render()
+    assert mid.hdr.max() <= 0.5 + 1e-6
+    assert np.all(mid.hdr <= ref.hdr + 1e-6)

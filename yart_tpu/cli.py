@@ -58,6 +58,9 @@ def parse_args(argv=None):
                    help="first progressive wave sample count (reference "
                         "default 64; smaller = faster first preview)")
     p.add_argument("--max-wave", type=int, default=128)
+    p.add_argument("--clamp", type=float, default=None,
+                   help="per-sample radiance clamp (pre-exposure), firefly "
+                        "suppression; biased, off by default")
     p.add_argument("--chunk-pixels", type=int, default=None,
                    help="pixels per device dispatch (memory knob)")
     p.add_argument("--shade-kernel", choices=["off", "xla", "pallas"],
@@ -240,6 +243,7 @@ def main(argv=None) -> int:
         max_wave_samples=args.max_wave,
         lane_chunk=args.chunk_pixels,
         shade_kernel=args.shade_kernel,
+        clamp=args.clamp,
     )
 
     if not args.quiet:

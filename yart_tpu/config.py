@@ -54,6 +54,9 @@ class RenderConfig:
     tonemap: str = "agx"  # "agx" | "none"
     agx_look: str = "none"  # "none" | "golden" | "punchy"
     rr_start_depth: int = 2  # roulette from depth 2 (mis-integrator.cpp:98)
+    # Per-sample radiance clamp (pre-exposure), None = off. A standard
+    # production firefly-suppression knob the reference lacks; biased.
+    clamp: Optional[float] = None
     # TPU execution knobs (no reference analog):
     lane_chunk: Optional[int] = None  # rays per device dispatch; None = whole wave
     # Pixel chunks kept in flight by the wave loop: jax dispatch is async,

@@ -717,4 +717,10 @@ def render_wave(
         scene, meta, sampler, lane_state, o, d, cfg,
         mis=cfg.integrator == "mis", differentiable=differentiable,
     )
+    if cfg.clamp is not None:
+        # Per-sample radiance clamp (production firefly suppression the
+        # reference lacks — its only defense is GMoN's bucket trim,
+        # estimator.hpp:148-198). Applied PRE-exposure so the knob is
+        # scene-relative; biased like every clamp, off by default.
+        L = jnp.minimum(L, jnp.float32(cfg.clamp))
     return L * cam.exposure_scale, rays
