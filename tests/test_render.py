@@ -253,3 +253,48 @@ def test_radiance_clamp(cornell_scene):
     ).render()
     assert mid.hdr.max() <= 0.5 + 1e-6
     assert np.all(mid.hdr <= ref.hdr + 1e-6)
+
+
+def test_compact_depth_bit_identical(cornell_scene):
+    """Staged wavefront compaction (cfg.compact_depth): images and ray
+    counts are BIT-identical with compaction on/off — per-lane sampler
+    state rides through the compaction gather, and every draw is a pure
+    function of it. Covers the overflow path too (factor so large the
+    cap underfits the survivors)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.camera import build_camera
+    from yart_tpu.render.integrator import render_wave
+
+    scene, meta = cornell_scene
+    size = (16, 16)
+    spp = 4
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=28.0, position=(0, 1.0, 3.4),
+        forward=(0, 0, -1),
+    ))
+    sampler = make_sampler("zsobol", spp, size, 0)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp), jnp.int32)
+    sidx = jnp.asarray(np.tile(np.arange(spp), 256), jnp.uint32)
+    base = RenderConfig(samples=spp, max_depth=6)
+    a, ra = jax.jit(
+        lambda: render_wave(scene, meta, cam, sampler, base, px, py, sidx)
+    )()
+    # (depth, factor): normal case, aggressive cap (exercises overflow
+    # lanes at depth 1 where most survive), immediate compaction.
+    for cd, cf in ((3, 4), (1, 8), (2, 2)):
+        cfg = dataclasses.replace(
+            base, compact_depth=cd, compact_factor=cf
+        )
+        b, rb = jax.jit(
+            lambda: render_wave(scene, meta, cam, sampler, cfg, px, py,
+                                sidx)
+        )()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(ra) == float(rb)

@@ -57,6 +57,17 @@ class RenderConfig:
     # Per-sample radiance clamp (pre-exposure), None = off. A standard
     # production firefly-suppression knob the reference lacks; biased.
     clamp: Optional[float] = None
+    # Staged wavefront compaction (non-diff forward only): after
+    # `compact_depth` bounces, surviving lanes compact into
+    # n / compact_factor lanes and later bounces run at reduced width
+    # (overflow lanes drain exactly at full width — exact for any cap).
+    # Bit-identical images for any setting (counter-based sampling).
+    # "auto" = 2 for env-lit scenes (escape paths retire early: measured
+    # atrium +50%, roadster +78%, ivy +44%), off for closed scenes (a
+    # cornell box keeps >1/factor of its lanes alive past the split and
+    # the overflow drain costs ~-28% — BASELINE.md round 4).
+    compact_depth: object = "auto"  # "auto" | int | None
+    compact_factor: int = 4
     # TPU execution knobs (no reference analog):
     lane_chunk: Optional[int] = None  # rays per device dispatch; None = whole wave
     # Pixel chunks kept in flight by the wave loop: jax dispatch is async,

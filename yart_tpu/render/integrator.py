@@ -432,217 +432,227 @@ def li(
     def cond(st: _State):
         return (st.depth < cfg.max_depth) & jnp.any(st.active)
 
-    lane_seed = sampler.lane_seed(lane_state)
+    def make_body(lane_state):
+        """Bounce body over a given lane set: parameterized so the
+        staged-compaction path (cfg.compact_depth) can rebuild it for
+        the compacted lanes; per-lane draws ride in lane_state, so
+        results are bit-identical for any lane subset."""
+        lane_seed = sampler.lane_seed(lane_state)
 
-    def body(st: _State):
-        depth = st.depth
-        dim0 = jnp.asarray(4, jnp.uint32) + depth.astype(jnp.uint32) * 8
-        rays = st.rays + jnp.sum(st.active.astype(jnp.float32))
+        def body(st: _State):
+            n = st.active.shape[0]  # lane count of THIS stage
+            depth = st.depth
+            dim0 = jnp.asarray(4, jnp.uint32) + depth.astype(jnp.uint32) * 8
+            rays = st.rays + jnp.sum(st.active.astype(jnp.float32))
 
-        # Fresh alpha-test stream per bounce (the reference draws these from
-        # the sampler mid-traversal, ray-integrator.cpp:211).
-        bounce_seed = lane_seed ^ (depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
-        # Retired lanes trace with t_max = -1: every traversal treats them
-        # as instant misses (and the block-trace sort groups them into
-        # all-dead blocks that exit immediately) instead of paying a full
-        # traversal for a result the masking below discards anyway.
-        tmax_lane = jnp.where(st.active, INF, -1.0)
-        hit = intersect(
-            scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
-            meta, sg(st.o), sg(st.d), sg(tmax_lane), t_min=RAY_EPS,
-            alpha_seed=bounce_seed,
-        )
-        if differentiable:
-            # stop_gradient: visibility is non-differentiable (detached
-            # sampling). checkpoint_name: the remat policy SAVES traversal
-            # outputs as residuals so the backward pass recomputes only
-            # shading math, never the traversal kernels (round-3 profile:
-            # traversal is >50% of a flagship wave, and hit records are
-            # ~10 f32/lane/bounce — cheap residuals).
-            from jax.ad_checkpoint import checkpoint_name
-
-            hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
-            hit = jax.tree_util.tree_map(
-                lambda x: checkpoint_name(x, "trace"), hit
-            )
-            if cfg.diff_geometry:
-                hit = _refit_hit(scene, meta, hit, st.o, st.d)
-        found = hit.mask & st.active
-
-        # ---- miss: environment + background (mis-integrator.cpp:27-43) ----
-        miss = st.active & ~hit.mask
-        L = st.L
-        if meta.has_env:
-            # Radiance and sampling pdf from ONE env-row fetch (per-lane
-            # gathers cost ~10 ns/row regardless of width).
-            le, pdf_env = lights.env_le_pdf(scene, st.d, meta)
-            if mis:
-                w_bsdf = jnp.where(
-                    (depth == 0) | st.specular,
-                    1.0,
-                    st.last_pdf / jnp.maximum(st.last_pdf + pdf_env, 1e-20),
-                )
-            else:
-                w_bsdf = jnp.ones((n,), jnp.float32)
-            L = L + jnp.where(miss[..., None], st.atten * le * w_bsdf[..., None], 0.0)
-        L = L + jnp.where(miss[..., None], st.atten * scene.background, 0.0)
-
-        # ---- surface shading ----
-        sh = shading_data(scene, meta, hit, st.o, st.d)
-        mat = B.resolve_material(scene, meta, sh.mat, sh.uv)
-
-        if cfg.shade_kernel != "off":
-            return _shade_kernel_body(
-                scene, meta, sampler, lane_state, cfg, st, hit, sh, mat,
-                found, L, dim0, rays, bounce_seed, mis,
-                differentiable=differentiable,
-            )
-
-        u = sampler.get2d(lane_state, dim0)
-        uc = sampler.get1d(lane_state, dim0 + 2)
-        uc2 = sampler.get1d(lane_state, dim0 + 3)
-
-        regularized = st.acc_rough > cfg.regularize_threshold
-        fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
-        wo_local = world_to_local(-st.d, fx, fy, fz)
-        smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized, meta=meta)
-        if differentiable:
-            # Detached sampling: direction, pdf and lobe choice are constants;
-            # f/Le keep their parameter dependence.
-            smp = smp._replace(
-                wi=sg(smp.wi), pdf=sg(smp.pdf), flags=smp.flags,
-                roughness=sg(smp.roughness),
-            )
-        wi_world = local_to_world(smp.wi, fx, fy, fz)
-
-        # ---- emitted radiance (mis-integrator.cpp:60-74) ----
-        emitted = B.has_flag(smp.flags, B.EMITTED) & found
-        if mis:
-            # solid-angle conversion vs the light sampler's pdf
-            dist2 = jnp.sum((st.last_p - sh.p) ** 2, axis=-1)
-            if meta.n_lights:
-                lrow = onehot_matmul(
-                    jnp.stack([scene.light_area, scene.light_power], axis=1),
-                    jnp.clip(sh.light, 0, meta.n_lights - 1),
-                )
-                pdf_area = 1.0 / jnp.maximum(lrow[:, 0], 1e-20)
-                if cfg.light_sampler == "uniform":
-                    n_total = meta.n_lights + (1 if meta.has_env else 0)
-                    sel_p = jnp.full((n,), 1.0 / max(n_total, 1), jnp.float32)
-                else:
-                    total = jnp.maximum(scene.light_cdf[-1], 1e-20)
-                    sel_p = (
-                        lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
-                    )
-            else:
-                pdf_area = jnp.zeros((n,), jnp.float32)
-                sel_p = jnp.zeros((n,), jnp.float32)
-            pdf_light = (
-                pdf_area
-                * dist2
-                * sel_p
-                / jnp.maximum(absdot(-st.d, sh.n), 1e-9)
-            )
-            w_b = jnp.where(
-                (depth == 0) | st.specular | (sh.light < 0),
-                1.0,
-                st.last_pdf / jnp.maximum(st.last_pdf + pdf_light, 1e-20),
-            )
-        else:
-            w_b = jnp.ones((n,), jnp.float32)
-        L = L + jnp.where(emitted[..., None], st.atten * smp.Le * w_b[..., None], 0.0)
-
-        scattered = B.has_flag(smp.flags, B.REFLECTED | B.TRANSMITTED) & found
-
-        # ---- NEE direct lighting (mis-integrator.cpp:76-80, 111-133) ----
-        do_nee = (
-            scattered
-            & ~B.has_flag(smp.flags, B.EMITTED | B.SPECULAR)
-            & (meta.n_lights > 0 or meta.has_env)
-        ) if mis else jnp.zeros((n,), bool)
-        if mis and (meta.n_lights > 0 or meta.has_env):
-            uc_l = sampler.get1d(lane_state, dim0 + 4)
-            u_l = sampler.get2d(lane_state, dim0 + 5)
-            ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l, kind=cfg.light_sampler)
-
-            wi_l_local = world_to_local(ls.wi, fx, fy, fz)
-            f_l = B.bsdf_f(tables, mat, wo_local, wi_l_local, meta=meta)
-            pdf_b = B.bsdf_pdf(tables, mat, wo_local, wi_l_local, meta=meta)
-            to_l = ls.p - sh.p
-            dist_l = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-20))
-            nee_need = (
-                do_nee & ls.valid & (jnp.sum(f_l * f_l, axis=-1) > 0.0)
-            )
-            shadow_d = to_l / dist_l[..., None]
-            shadow_tmax = jnp.where(nee_need, dist_l - 1e-3, -1.0)
-            occ = intersect(
+            # Fresh alpha-test stream per bounce (the reference draws these from
+            # the sampler mid-traversal, ray-integrator.cpp:211).
+            bounce_seed = lane_seed ^ (depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+            # Retired lanes trace with t_max = -1: every traversal treats them
+            # as instant misses (and the block-trace sort groups them into
+            # all-dead blocks that exit immediately) instead of paying a full
+            # traversal for a result the masking below discards anyway.
+            tmax_lane = jnp.where(st.active, INF, -1.0)
+            hit = intersect(
                 scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
-                meta, sg(sh.p), sg(shadow_d), sg(shadow_tmax),
-                t_min=RAY_EPS, nee=True,
-                alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
+                meta, sg(st.o), sg(st.d), sg(tmax_lane), t_min=RAY_EPS,
+                alpha_seed=bounce_seed,
             )
             if differentiable:
+                # stop_gradient: visibility is non-differentiable (detached
+                # sampling). checkpoint_name: the remat policy SAVES traversal
+                # outputs as residuals so the backward pass recomputes only
+                # shading math, never the traversal kernels (round-3 profile:
+                # traversal is >50% of a flagship wave, and hit records are
+                # ~10 f32/lane/bounce — cheap residuals).
                 from jax.ad_checkpoint import checkpoint_name
 
-                occ = jax.tree_util.tree_map(lax.stop_gradient, occ)
-                occ = jax.tree_util.tree_map(
-                    lambda x: checkpoint_name(x, "trace"), occ
+                hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
+                hit = jax.tree_util.tree_map(
+                    lambda x: checkpoint_name(x, "trace"), hit
                 )
-            rays = rays + jnp.sum(nee_need.astype(jnp.float32))
+                if cfg.diff_geometry:
+                    hit = _refit_hit(scene, meta, hit, st.o, st.d)
+            found = hit.mask & st.active
 
-            pdf_light = ls.select_p * ls.pdf / jnp.maximum(absdot(ls.n, ls.wi), 1e-9)
-            dist2_l = jnp.sum(to_l * to_l, axis=-1)
-            pdf_light = jnp.where(ls.is_env, pdf_light, pdf_light * dist2_l)
-            contrib = (
-                ls.Li
-                * f_l
-                * occ.attenuation
-                * (absdot(ls.wi, sh.n) / jnp.maximum(pdf_b + pdf_light, 1e-20))[
-                    ..., None
-                ]
+            # ---- miss: environment + background (mis-integrator.cpp:27-43) ----
+            miss = st.active & ~hit.mask
+            L = st.L
+            if meta.has_env:
+                # Radiance and sampling pdf from ONE env-row fetch (per-lane
+                # gathers cost ~10 ns/row regardless of width).
+                le, pdf_env = lights.env_le_pdf(scene, st.d, meta)
+                if mis:
+                    w_bsdf = jnp.where(
+                        (depth == 0) | st.specular,
+                        1.0,
+                        st.last_pdf / jnp.maximum(st.last_pdf + pdf_env, 1e-20),
+                    )
+                else:
+                    w_bsdf = jnp.ones((n,), jnp.float32)
+                L = L + jnp.where(miss[..., None], st.atten * le * w_bsdf[..., None], 0.0)
+            L = L + jnp.where(miss[..., None], st.atten * scene.background, 0.0)
+
+            # ---- surface shading ----
+            sh = shading_data(scene, meta, hit, st.o, st.d)
+            mat = B.resolve_material(scene, meta, sh.mat, sh.uv)
+
+            if cfg.shade_kernel != "off":
+                return _shade_kernel_body(
+                    scene, meta, sampler, lane_state, cfg, st, hit, sh, mat,
+                    found, L, dim0, rays, bounce_seed, mis,
+                    differentiable=differentiable,
+                )
+
+            u = sampler.get2d(lane_state, dim0)
+            uc = sampler.get1d(lane_state, dim0 + 2)
+            uc2 = sampler.get1d(lane_state, dim0 + 3)
+
+            regularized = st.acc_rough > cfg.regularize_threshold
+            fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
+            wo_local = world_to_local(-st.d, fx, fy, fz)
+            smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized, meta=meta)
+            if differentiable:
+                # Detached sampling: direction, pdf and lobe choice are constants;
+                # f/Le keep their parameter dependence.
+                smp = smp._replace(
+                    wi=sg(smp.wi), pdf=sg(smp.pdf), flags=smp.flags,
+                    roughness=sg(smp.roughness),
+                )
+            wi_world = local_to_world(smp.wi, fx, fy, fz)
+
+            # ---- emitted radiance (mis-integrator.cpp:60-74) ----
+            emitted = B.has_flag(smp.flags, B.EMITTED) & found
+            if mis:
+                # solid-angle conversion vs the light sampler's pdf
+                dist2 = jnp.sum((st.last_p - sh.p) ** 2, axis=-1)
+                if meta.n_lights:
+                    lrow = onehot_matmul(
+                        jnp.stack([scene.light_area, scene.light_power], axis=1),
+                        jnp.clip(sh.light, 0, meta.n_lights - 1),
+                    )
+                    pdf_area = 1.0 / jnp.maximum(lrow[:, 0], 1e-20)
+                    if cfg.light_sampler == "uniform":
+                        n_total = meta.n_lights + (1 if meta.has_env else 0)
+                        sel_p = jnp.full((n,), 1.0 / max(n_total, 1), jnp.float32)
+                    else:
+                        total = jnp.maximum(scene.light_cdf[-1], 1e-20)
+                        sel_p = (
+                            lrow[:, 1] / total * (1.0 - lights.p_infinite(meta))
+                        )
+                else:
+                    pdf_area = jnp.zeros((n,), jnp.float32)
+                    sel_p = jnp.zeros((n,), jnp.float32)
+                pdf_light = (
+                    pdf_area
+                    * dist2
+                    * sel_p
+                    / jnp.maximum(absdot(-st.d, sh.n), 1e-9)
+                )
+                w_b = jnp.where(
+                    (depth == 0) | st.specular | (sh.light < 0),
+                    1.0,
+                    st.last_pdf / jnp.maximum(st.last_pdf + pdf_light, 1e-20),
+                )
+            else:
+                w_b = jnp.ones((n,), jnp.float32)
+            L = L + jnp.where(emitted[..., None], st.atten * smp.Le * w_b[..., None], 0.0)
+
+            scattered = B.has_flag(smp.flags, B.REFLECTED | B.TRANSMITTED) & found
+
+            # ---- NEE direct lighting (mis-integrator.cpp:76-80, 111-133) ----
+            do_nee = (
+                scattered
+                & ~B.has_flag(smp.flags, B.EMITTED | B.SPECULAR)
+                & (meta.n_lights > 0 or meta.has_env)
+            ) if mis else jnp.zeros((n,), bool)
+            if mis and (meta.n_lights > 0 or meta.has_env):
+                uc_l = sampler.get1d(lane_state, dim0 + 4)
+                u_l = sampler.get2d(lane_state, dim0 + 5)
+                ls = lights.sample_light(scene, meta, sh.p, uc_l, u_l, kind=cfg.light_sampler)
+
+                wi_l_local = world_to_local(ls.wi, fx, fy, fz)
+                f_l = B.bsdf_f(tables, mat, wo_local, wi_l_local, meta=meta)
+                pdf_b = B.bsdf_pdf(tables, mat, wo_local, wi_l_local, meta=meta)
+                to_l = ls.p - sh.p
+                dist_l = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-20))
+                nee_need = (
+                    do_nee & ls.valid & (jnp.sum(f_l * f_l, axis=-1) > 0.0)
+                )
+                shadow_d = to_l / dist_l[..., None]
+                shadow_tmax = jnp.where(nee_need, dist_l - 1e-3, -1.0)
+                occ = intersect(
+                    scene if not differentiable else jax.tree_util.tree_map(lax.stop_gradient, scene),
+                    meta, sg(sh.p), sg(shadow_d), sg(shadow_tmax),
+                    t_min=RAY_EPS, nee=True,
+                    alpha_seed=bounce_seed ^ jnp.uint32(0x6A09E667),
+                )
+                if differentiable:
+                    from jax.ad_checkpoint import checkpoint_name
+
+                    occ = jax.tree_util.tree_map(lax.stop_gradient, occ)
+                    occ = jax.tree_util.tree_map(
+                        lambda x: checkpoint_name(x, "trace"), occ
+                    )
+                rays = rays + jnp.sum(nee_need.astype(jnp.float32))
+
+                pdf_light = ls.select_p * ls.pdf / jnp.maximum(absdot(ls.n, ls.wi), 1e-9)
+                dist2_l = jnp.sum(to_l * to_l, axis=-1)
+                pdf_light = jnp.where(ls.is_env, pdf_light, pdf_light * dist2_l)
+                contrib = (
+                    ls.Li
+                    * f_l
+                    * occ.attenuation
+                    * (absdot(ls.wi, sh.n) / jnp.maximum(pdf_b + pdf_light, 1e-20))[
+                        ..., None
+                    ]
+                )
+                ok = nee_need & ~occ.mask
+                L = L + jnp.where(ok[..., None], st.atten * contrib, 0.0)
+
+            # ---- throughput update (mis-integrator.cpp:83-96) ----
+            fcos = smp.f * absdot(wi_world, sh.n)[..., None]
+            atten = st.atten * fcos / jnp.maximum(smp.pdf, 1e-20)[..., None]
+            vol = B.volume_attenuation(mat, hit.t)
+            atten = jnp.where((sh.back & scattered)[..., None], atten * vol, atten)
+
+            new_o = sh.p
+            new_d = wi_world
+
+            active = st.active & scattered
+            specular = B.has_flag(smp.flags, B.SPECULAR)
+            acc_rough = st.acc_rough + jnp.where(scattered, smp.roughness, 0.0)
+            depth_new = depth + 1
+
+            # ---- russian roulette (mis-integrator.cpp:98-102) ----
+            if mis:
+                u_rr = sampler.get1d(lane_state, dim0 + 7)
+                q = jnp.maximum(0.0, 1.0 - max_component(atten))
+                rr_on = (depth_new >= cfg.rr_start_depth) & active
+                killed = rr_on & (u_rr < q)
+                active = active & ~killed
+                scale = jnp.where(rr_on & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-9), 1.0)
+                atten = atten * scale[..., None]
+
+            atten = jnp.where(active[..., None], atten, st.atten)
+
+            return _State(
+                o=jnp.where(active[..., None], new_o, st.o),
+                d=jnp.where(active[..., None], new_d, st.d),
+                L=L,
+                atten=atten,
+                active=active,
+                specular=jnp.where(active, specular, st.specular),
+                acc_rough=acc_rough,
+                last_pdf=jnp.where(active, smp.pdf, st.last_pdf),
+                last_p=jnp.where(active[..., None], sh.p, st.last_p),
+                depth=depth_new,
+                rays=rays,
             )
-            ok = nee_need & ~occ.mask
-            L = L + jnp.where(ok[..., None], st.atten * contrib, 0.0)
 
-        # ---- throughput update (mis-integrator.cpp:83-96) ----
-        fcos = smp.f * absdot(wi_world, sh.n)[..., None]
-        atten = st.atten * fcos / jnp.maximum(smp.pdf, 1e-20)[..., None]
-        vol = B.volume_attenuation(mat, hit.t)
-        atten = jnp.where((sh.back & scattered)[..., None], atten * vol, atten)
+        return body
 
-        new_o = sh.p
-        new_d = wi_world
-
-        active = st.active & scattered
-        specular = B.has_flag(smp.flags, B.SPECULAR)
-        acc_rough = st.acc_rough + jnp.where(scattered, smp.roughness, 0.0)
-        depth_new = depth + 1
-
-        # ---- russian roulette (mis-integrator.cpp:98-102) ----
-        if mis:
-            u_rr = sampler.get1d(lane_state, dim0 + 7)
-            q = jnp.maximum(0.0, 1.0 - max_component(atten))
-            rr_on = (depth_new >= cfg.rr_start_depth) & active
-            killed = rr_on & (u_rr < q)
-            active = active & ~killed
-            scale = jnp.where(rr_on & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-9), 1.0)
-            atten = atten * scale[..., None]
-
-        atten = jnp.where(active[..., None], atten, st.atten)
-
-        return _State(
-            o=jnp.where(active[..., None], new_o, st.o),
-            d=jnp.where(active[..., None], new_d, st.d),
-            L=L,
-            atten=atten,
-            active=active,
-            specular=jnp.where(active, specular, st.specular),
-            acc_rough=acc_rough,
-            last_pdf=jnp.where(active, smp.pdf, st.last_pdf),
-            last_p=jnp.where(active[..., None], sh.p, st.last_p),
-            depth=depth_new,
-            rays=rays,
-        )
+    body = make_body(lane_state)
 
     if differentiable:
         def scan_body(st, _):
@@ -685,7 +695,57 @@ def li(
                 st, None, length=cfg.max_depth,
             )
     else:
-        st = lax.while_loop(cond, body, st)
+        split = cfg.compact_depth
+        if split == "auto":
+            # Env-lit scenes retire most lanes within two bounces (sky
+            # misses + RR); closed scenes keep too many survivors for
+            # the cap and pay the overflow drain instead (BASELINE.md
+            # round-4 measurements).
+            split = 2 if meta.has_env else None
+        cap = 0
+        if split and split < cfg.max_depth:
+            cap = max(
+                128, (n // max(cfg.compact_factor, 2)) // 128 * 128
+            )
+        if not cap or cap >= n:
+            st = lax.while_loop(cond, body, st)
+        else:
+            # ---- staged wavefront compaction (round 4, default off) ----
+            # Paths retire bounce by bounce but every full-width bounce
+            # pays full-width traversal scheduling + shade fusions for
+            # the dead lanes. After `split` bounces the survivors are
+            # compacted into n / compact_factor lanes (stable argsort on
+            # the active mask) and the remaining bounces run at 1/f
+            # width; survivors that do not fit (rare — the cap would be
+            # mis-tuned) continue in a full-width overflow loop, so the
+            # result is EXACT for any cap. Per-lane sampler state rides
+            # along (lane_state gather) and every draw is a pure function
+            # of it, so images are BIT-IDENTICAL with compaction on/off
+            # (tests/test_render.py::test_compact_depth_bit_identical).
+            st = lax.while_loop(
+                lambda s: (s.depth < split) & jnp.any(s.active), body, st
+            )
+            idx = jnp.argsort(~st.active)[:cap]  # stable: active first
+            take = lambda a: a[idx]
+            st_c = _State(
+                o=take(st.o), d=take(st.d), L=take(st.L),
+                atten=take(st.atten), active=take(st.active),
+                specular=take(st.specular), acc_rough=take(st.acc_rough),
+                last_pdf=take(st.last_pdf), last_p=take(st.last_p),
+                depth=st.depth, rays=st.rays,
+            )
+            body_c = make_body(jax.tree_util.tree_map(take, lane_state))
+            st_c = lax.while_loop(cond, body_c, st_c)
+            # Merge compacted lanes back, then drain any overflow lanes
+            # (active lanes beyond the cap) at full width — normally the
+            # loop exits after one any() check.
+            in_idx = jnp.zeros((n,), bool).at[idx].set(True)
+            st = st._replace(
+                L=st.L.at[idx].set(st_c.L),
+                active=st.active & ~in_idx,
+                rays=st_c.rays,
+            )
+            st = lax.while_loop(cond, body, st)
     return st.L, st.rays
 
 
