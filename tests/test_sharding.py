@@ -146,3 +146,43 @@ def test_material_grads_mesh_invariant():
         # The grad of a replicated parameter must come back replicated
         # (the psum happened inside the compiled graph).
         assert g.sharding.is_fully_replicated
+
+
+def test_image_invariant_with_compaction():
+    """Mesh-shape invariance THROUGH the staged wavefront compaction
+    (cfg.compact_depth engages for env-lit scenes): the in-graph argsort
+    + gathers must not break the bit-identical-images property."""
+    import dataclasses
+
+    from yart_tpu.scene.procedural import furnace
+
+    scene, meta = furnace(env_value=0.5).compile()
+    assert meta.has_env
+    size = (16, 16)
+    cam = build_camera(CameraConfig(
+        image_size=size, focal_length=30.0, position=(0, 0, 3.5),
+        forward=(0, 0, -3.5),
+    ))
+    cfg = dataclasses.replace(
+        RenderConfig(samples=4, max_depth=6),
+        compact_depth=2, compact_factor=4,
+    )
+    sampler = make_sampler(cfg.sampler, cfg.samples, size, cfg.seed)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    sidx = jnp.zeros_like(px).astype(jnp.uint32)
+
+    def step(px, py, sidx):
+        return render_wave(scene, meta, cam, sampler, cfg, px, py, sidx)
+
+    ref, rays_ref = jax.jit(step)(px, py, sidx)
+    ref = np.asarray(ref)
+    assert np.isfinite(ref).all()
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        pxs, pys, sidxs = device_put_lanes(mesh, px, py, sidx)
+        fn = jax.jit(step, in_shardings=(shard_lanes(mesh),) * 3)
+        out, rays = fn(pxs, pys, sidxs)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+        np.testing.assert_allclose(float(rays), float(rays_ref), rtol=1e-6)
