@@ -208,13 +208,21 @@ class Renderer:
         cfg = self.cfg
         h, w = self.height, self.width
         n_pix = h * w
-        # Default pixel chunk bounds memory AND lets chunks whose lanes all
+        # Pixel chunk bounds memory AND lets chunks whose lanes all
         # terminate early (misses, shallow paths) exit their bounce loops
-        # sooner than the global worst lane — the tile analog.
-        chunk = chunk_pixels or cfg.lane_chunk or 131072
-        chunk = min(chunk, n_pix)
-        # Chunks must split evenly over the mesh.
-        chunk = -(-chunk // self.n_devices) * self.n_devices
+        # sooner than the global worst lane — the tile analog. The
+        # DEFAULT is a LANE budget (~1M rays per dispatch), so big waves
+        # shrink their pixel chunks: a fixed pixel chunk at wave k=32 is
+        # 4.2M lanes in one dispatch, which overflows HBM on big scenes
+        # (measured: atrium-ivy 512^2 first-wave 32 OOM'd at 17 GB).
+        # Explicit chunk_pixels / cfg.lane_chunk stay absolute.
+        fixed = chunk_pixels or cfg.lane_chunk
+
+        def chunk_for(k: int) -> int:
+            c = fixed or max(1, (1 << 20) // max(k, 1))
+            c = min(c, n_pix)
+            # Chunks must split evenly over the mesh.
+            return -(-c // self.n_devices) * self.n_devices
 
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         # Host buffers: identical on every process, so device_put can shard
@@ -252,6 +260,7 @@ class Renderer:
                 # flag per tile, tile-renderer.hpp:182-185).
                 break
             fn = self._wave_fn(k)
+            chunk = chunk_for(k)
             # Host-side wave accumulator: wave results come back replicated
             # over the mesh (XLA all_gathers — the only display-path
             # collective, SURVEY.md §2.6), so numpy assembly works on every
