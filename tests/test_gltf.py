@@ -360,3 +360,147 @@ def test_interleaved_bytestride(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate(b._normals), np.tile([[0, 0, 1]], (3, 1))
     )
+
+
+# ---- round-5 malformed-input matrix: every structural defect must raise
+# a clear GltfError, never emit garbage geometry (fastgltf's validation
+# role in the reference, src/gltf/gltf.cpp:323-337) ----------------------
+
+from yart_tpu.scene.gltf import GltfError  # noqa: E402
+
+
+def _tri_doc_bin():
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([0, 1, 2], np.uint16)
+    bin_blob = pos.tobytes() + idx.tobytes()
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+        {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+        {"bufferView": 1, "componentType": 5123, "count": 3,
+         "type": "SCALAR"},
+    ]
+    doc = _quad_doc(pos, [{"attributes": {"POSITION": 0}, "indices": 1,
+                           "material": 0}], accessors, bin_blob, views)
+    return doc, bin_blob
+
+
+def test_malformed_truncated_bin_chunk(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    path = _write_glb(tmp_path, doc, bin_blob, "good.glb")
+    data = open(path, "rb").read()
+    # Chop 16 bytes off the file; the GLB length header now overruns.
+    bad = tmp_path / "trunc.glb"
+    bad.write_bytes(data[:-16])
+    with pytest.raises(GltfError, match="truncated"):
+        load(str(bad))
+
+
+def test_malformed_bin_shorter_than_declared(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    # Keep the GLB container consistent but declare a bigger buffer than
+    # the BIN chunk provides.
+    doc["buffers"][0]["byteLength"] = len(bin_blob) + 1000
+    with pytest.raises(GltfError, match="BIN chunk"):
+        load(_write_glb(tmp_path, doc, bin_blob, "short.glb"))
+
+
+def test_malformed_accessor_count_overrun(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["accessors"][0]["count"] = 10_000  # 3 vertices exist
+    doc["bufferViews"][0]["byteLength"] = len(bin_blob)
+    with pytest.raises(GltfError, match="overrun|needs"):
+        load(_write_glb(tmp_path, doc, bin_blob, "count.glb"))
+
+
+def test_malformed_accessor_byteoffset_overrun(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["accessors"][0]["byteOffset"] = 1 << 20
+    with pytest.raises(GltfError, match="overrun|needs"):
+        load(_write_glb(tmp_path, doc, bin_blob, "off.glb"))
+
+
+def test_malformed_bufferview_overrun(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["bufferViews"][0]["byteLength"] = len(bin_blob) + 512
+    with pytest.raises(GltfError, match="truncated|spans"):
+        load(_write_glb(tmp_path, doc, bin_blob, "view.glb"))
+
+
+def test_malformed_unknown_component_type(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["accessors"][1]["componentType"] = 5130  # not a spec value
+    with pytest.raises(GltfError, match="componentType"):
+        load(_write_glb(tmp_path, doc, bin_blob, "ctype.glb"))
+
+
+def test_malformed_missing_buffer(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["bufferViews"][0]["buffer"] = 3  # only buffer 0 exists
+    with pytest.raises(GltfError, match="buffer"):
+        load(_write_glb(tmp_path, doc, bin_blob, "nobuf.glb"))
+
+
+def test_malformed_accessor_index_out_of_range(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["meshes"][0]["primitives"][0]["attributes"]["POSITION"] = 42
+    with pytest.raises(GltfError, match="accessor 42"):
+        load(_write_glb(tmp_path, doc, bin_blob, "acc.glb"))
+
+
+def test_malformed_vertex_index_out_of_range(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([0, 1, 9], np.uint16)  # vertex 9 of 3
+    blob = pos.tobytes() + idx.tobytes()
+    with pytest.raises(GltfError, match="out of range"):
+        load(_write_glb(tmp_path, doc, blob, "vidx.glb"))
+
+
+def test_malformed_nontriple_indices(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    doc["accessors"][1]["count"] = 2  # 2 indices can't form triangles
+    with pytest.raises(GltfError, match="multiple of 3"):
+        load(_write_glb(tmp_path, doc, bin_blob, "n3.glb"))
+
+
+def test_malformed_no_json_chunk(tmp_path):
+    bad = tmp_path / "nojson.glb"
+    bin_blob = b"\x00" * 8
+    glb = (struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(bin_blob))
+           + struct.pack("<II", len(bin_blob), 0x004E4942) + bin_blob)
+    bad.write_bytes(glb)
+    with pytest.raises(GltfError, match="JSON"):
+        load(str(bad))
+
+
+def test_malformed_bad_glb_version(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    path = _write_glb(tmp_path, doc, bin_blob, "v9.glb")
+    data = bytearray(open(path, "rb").read())
+    struct.pack_into("<I", data, 4, 9)  # version 9
+    bad = tmp_path / "ver.glb"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(GltfError, match="version"):
+        load(str(bad))
+
+
+def test_malformed_sparse_index_overrun(tmp_path):
+    doc, bin_blob = _tri_doc_bin()
+    sidx = np.asarray([7], np.uint16)  # accessor count is 3
+    sval = np.asarray([[9, 9, 9]], np.float32)
+    blob = bin_blob + sidx.tobytes() + b"\x00\x00" + sval.tobytes()
+    doc["bufferViews"] += [
+        {"buffer": 0, "byteOffset": len(bin_blob), "byteLength": 2},
+        {"buffer": 0, "byteOffset": len(bin_blob) + 4, "byteLength": 12},
+    ]
+    doc["buffers"][0]["byteLength"] = len(blob)
+    doc["accessors"][0]["sparse"] = {
+        "count": 1,
+        "indices": {"bufferView": 2, "componentType": 5123},
+        "values": {"bufferView": 3},
+    }
+    with pytest.raises(GltfError, match="sparse"):
+        load(_write_glb(tmp_path, doc, blob, "sparse.glb"))

@@ -115,6 +115,49 @@ def test_checkpoint_resume(tmp_path, cornell_scene):
     np.testing.assert_allclose(resumed, full, atol=1e-5)
 
 
+def test_checkpoint_write_is_atomic(tmp_path, cornell_scene, monkeypatch):
+    """A kill mid-checkpoint-write must never corrupt the resume state:
+    the write goes to a temp file and is os.replace()d in, so an
+    interrupted write leaves the previous checkpoint intact."""
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=8, max_depth=4, tonemap="none",
+                       estimator="mean", first_wave_samples=4,
+                       max_wave_samples=4)
+    ck = str(tmp_path / "ck.npz")
+    full = Renderer(scene, meta, cornell_cam(16), cfg).render().hdr
+
+    r = Renderer(scene, meta, cornell_cam(16), cfg)
+    r.render(checkpoint=ck, max_waves=1)
+    good = open(ck, "rb").read()
+
+    # Simulate a kill mid-write on the NEXT checkpoint: savez writes
+    # garbage then dies before the rename.
+    import numpy as _np
+
+    def dying_savez(path, **kw):
+        with open(path if str(path).endswith(".npz") else path + ".npz",
+                  "wb") as f:
+            f.write(b"partial garbage")
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(_np, "savez", dying_savez)
+    try:
+        Renderer(scene, meta, cornell_cam(16), cfg).render(
+            checkpoint=ck, max_waves=1
+        )
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+
+    # The live checkpoint file is byte-identical to the last good write...
+    assert open(ck, "rb").read() == good
+    # ...and resuming from it still completes to the full image.
+    resumed = Renderer(scene, meta, cornell_cam(16), cfg).render(
+        checkpoint=ck
+    ).hdr
+    np.testing.assert_allclose(resumed, full, atol=1e-5)
+
+
 def test_naive_vs_mis_agree(cornell_scene):
     """The naive integrator is the correctness oracle for MIS
     (src/main.cpp:17, SURVEY.md §4): both must converge to the same image."""

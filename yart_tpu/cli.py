@@ -78,6 +78,9 @@ def parse_args(argv=None):
                    help="serve a live progressive view over HTTP with "
                         "pan/zoom (the headless analog of the reference's "
                         "Metal+SDL2 viewer, src/frontend/metal-sdl2)")
+    p.add_argument("--serve-host", type=str, default="127.0.0.1",
+                   help="bind address for --serve (default loopback-only; "
+                        "pass 0.0.0.0 to expose on all interfaces)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR "
                         "(the TPU analog of the reference's Mrays/s prints, "
@@ -268,7 +271,7 @@ def main(argv=None) -> int:
     if args.serve is not None:
         from yart_tpu.io.preview import PreviewServer
 
-        server = PreviewServer(args.serve)
+        server = PreviewServer(args.serve, host=args.serve_host)
         if not args.quiet:
             print(f"live view: http://localhost:{server.port}/")
 

@@ -48,7 +48,10 @@ tick();
 class PreviewServer:
     """Serve the latest preview frame; thread-safe `update()` from waves."""
 
-    def __init__(self, port: int = 8000, host: str = "0.0.0.0"):
+    def __init__(self, port: int = 8000, host: str = "127.0.0.1"):
+        # Default loopback-only: render output must not be exposed on all
+        # interfaces of a shared host unless explicitly requested
+        # (pass host="0.0.0.0" to serve externally).
         self._lock = threading.Lock()
         self._png = b""
         self._status = {

@@ -343,13 +343,21 @@ class Renderer:
             samples_taken += k
 
             if checkpoint:
+                # Atomic: a kill mid-write must never corrupt the resume
+                # state (the exact scenario checkpointing exists for), so
+                # write a sibling temp file and os.replace() it in.
+                tmp = checkpoint + ".tmp"
                 np.savez(
-                    checkpoint,
+                    tmp,
                     hdr=np.asarray(hdr),
                     samples_taken=samples_taken,
                     rays=total_rays,
                     seed=cfg.seed,
                 )
+                # np.savez appends .npz when the name lacks it.
+                if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+                    tmp = tmp + ".npz"
+                os.replace(tmp, checkpoint)
 
             if on_wave is not None:
                 preview = np.asarray(

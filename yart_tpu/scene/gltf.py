@@ -37,6 +37,14 @@ import numpy as np
 from yart_tpu.ops.color import gamma2_encode_np, srgb_decode_np
 from yart_tpu.scene.builder import MaterialDesc, SceneBuilder
 
+class GltfError(ValueError):
+    """Malformed glTF/GLB input. Raised LOUDLY for any structural defect
+    (truncated chunks, accessor overruns, unknown componentTypes, missing
+    buffers) — this loader must never emit garbage geometry from a bad
+    file. Validation role of fastgltf in the reference
+    (src/gltf/gltf.cpp:323-337)."""
+
+
 _COMPONENT_DTYPES = {
     5120: np.int8,
     5121: np.uint8,
@@ -60,20 +68,67 @@ class _Gltf:
         self.buffers = buffers
         self.base_dir = base_dir
 
+    def _view_buffer(self, bv_idx, what: str):
+        """Resolve a bufferView -> (view dict, backing bytes), validating
+        every index and length instead of trusting numpy/IndexError."""
+        views = self.doc.get("bufferViews", [])
+        if not (0 <= bv_idx < len(views)):
+            raise GltfError(
+                f"{what}: bufferView {bv_idx} out of range "
+                f"(file has {len(views)})"
+            )
+        bv = views[bv_idx]
+        bi = bv.get("buffer", 0)
+        if not (0 <= bi < len(self.buffers)):
+            raise GltfError(
+                f"{what}: bufferView {bv_idx} references buffer {bi} "
+                f"but the file has {len(self.buffers)} buffer(s)"
+            )
+        buf = self.buffers[bi]
+        end = bv.get("byteOffset", 0) + bv.get("byteLength", 0)
+        if end > len(buf):
+            raise GltfError(
+                f"{what}: bufferView {bv_idx} spans bytes "
+                f"[{bv.get('byteOffset', 0)}, {end}) but buffer {bi} holds "
+                f"only {len(buf)} bytes (truncated file?)"
+            )
+        return bv, buf
+
     def accessor(self, idx: int) -> np.ndarray:
-        acc = self.doc["accessors"][idx]
+        accs = self.doc.get("accessors", [])
+        if not (0 <= idx < len(accs)):
+            raise GltfError(
+                f"accessor {idx} out of range (file has {len(accs)})"
+            )
+        acc = accs[idx]
         n = acc["count"]
+        if acc["type"] not in _TYPE_COUNTS:
+            raise GltfError(f"accessor {idx}: unknown type {acc['type']!r}")
         ncomp = _TYPE_COUNTS[acc["type"]]
+        if acc["componentType"] not in _COMPONENT_DTYPES:
+            raise GltfError(
+                f"accessor {idx}: unknown componentType "
+                f"{acc['componentType']} (spec values: "
+                f"{sorted(_COMPONENT_DTYPES)})"
+            )
         dtype = _COMPONENT_DTYPES[acc["componentType"]]
         itemsize = np.dtype(dtype).itemsize * ncomp
 
         if "bufferView" not in acc:
             out = np.zeros((n, ncomp), dtype)
         else:
-            bv = self.doc["bufferViews"][acc["bufferView"]]
-            buf = self.buffers[bv["buffer"]]
+            bv, buf = self._view_buffer(acc["bufferView"], f"accessor {idx}")
             offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
             stride = bv.get("byteStride", itemsize)
+            need = offset + (
+                (n - 1) * stride + itemsize if n else 0
+            )
+            if need > len(buf):
+                raise GltfError(
+                    f"accessor {idx}: count={n} stride={stride} at byte "
+                    f"offset {offset} needs {need} bytes but buffer holds "
+                    f"{len(buf)} (accessor overrun / truncated buffer)"
+                )
             if stride == itemsize:
                 out = np.frombuffer(
                     buf, dtype, count=n * ncomp, offset=offset
@@ -93,19 +148,39 @@ class _Gltf:
             sp = acc["sparse"]
             out = np.array(out)  # writable copy
             si = sp["indices"]
-            sbv = self.doc["bufferViews"][si["bufferView"]]
+            sbv, sbuf = self._view_buffer(
+                si["bufferView"], f"accessor {idx} sparse indices"
+            )
+            if si["componentType"] not in _COMPONENT_DTYPES:
+                raise GltfError(
+                    f"accessor {idx}: sparse indices componentType "
+                    f"{si['componentType']} unknown"
+                )
             sdt = _COMPONENT_DTYPES[si["componentType"]]
             soff = sbv.get("byteOffset", 0) + si.get("byteOffset", 0)
+            if soff + sp["count"] * np.dtype(sdt).itemsize > len(sbuf):
+                raise GltfError(
+                    f"accessor {idx}: sparse indices overrun buffer"
+                )
             sidx = np.frombuffer(
-                self.buffers[sbv["buffer"]], sdt, count=sp["count"],
-                offset=soff,
+                sbuf, sdt, count=sp["count"], offset=soff
             ).astype(np.int64)
+            if sp["count"] and (sidx.min() < 0 or sidx.max() >= n):
+                raise GltfError(
+                    f"accessor {idx}: sparse index "
+                    f"{int(sidx.max())} outside accessor count {n}"
+                )
             sv = sp["values"]
-            vbv = self.doc["bufferViews"][sv["bufferView"]]
+            vbv, vbuf = self._view_buffer(
+                sv["bufferView"], f"accessor {idx} sparse values"
+            )
             voff = vbv.get("byteOffset", 0) + sv.get("byteOffset", 0)
+            if voff + sp["count"] * itemsize > len(vbuf):
+                raise GltfError(
+                    f"accessor {idx}: sparse values overrun buffer"
+                )
             vals = np.frombuffer(
-                self.buffers[vbv["buffer"]], dtype,
-                count=sp["count"] * ncomp, offset=voff,
+                vbuf, dtype, count=sp["count"] * ncomp, offset=voff
             ).reshape(sp["count"], ncomp)
             out[sidx] = vals
         if acc.get("normalized") and dtype != np.float32:
@@ -116,9 +191,11 @@ class _Gltf:
     def image_bytes(self, img_idx: int) -> bytes:
         img = self.doc["images"][img_idx]
         if "bufferView" in img:
-            bv = self.doc["bufferViews"][img["bufferView"]]
+            bv, buf = self._view_buffer(
+                img["bufferView"], f"image {img_idx}"
+            )
             off = bv.get("byteOffset", 0)
-            return bytes(self.buffers[bv["buffer"]][off : off + bv["byteLength"]])
+            return bytes(buf[off : off + bv["byteLength"]])
         uri = img["uri"]
         if uri.startswith("data:"):
             return base64.b64decode(uri.split(",", 1)[1])
@@ -134,21 +211,48 @@ def _load_doc(path: str) -> _Gltf:
         data = f.read()
 
     if head == b"glTF":  # GLB container
+        if len(data) < 12:
+            raise GltfError(f"{path}: GLB header truncated ({len(data)} bytes)")
         magic, version, length = struct.unpack_from("<III", data, 0)
+        if version != 2:
+            raise GltfError(f"{path}: unsupported GLB version {version}")
+        if length > len(data):
+            raise GltfError(
+                f"{path}: GLB header declares {length} bytes but the file "
+                f"holds {len(data)} (truncated file)"
+            )
         pos = 12
         doc = None
         bin_chunk = b""
         while pos < length:
+            if pos + 8 > length:
+                raise GltfError(f"{path}: GLB chunk header truncated at {pos}")
             clen, ctype = struct.unpack_from("<II", data, pos)
+            if pos + 8 + clen > length:
+                raise GltfError(
+                    f"{path}: GLB chunk at {pos} declares {clen} bytes but "
+                    f"only {length - pos - 8} remain (truncated chunk)"
+                )
             chunk = data[pos + 8 : pos + 8 + clen]
             if ctype == 0x4E4F534A:  # JSON
-                doc = json.loads(chunk)
+                try:
+                    doc = json.loads(chunk)
+                except json.JSONDecodeError as e:
+                    raise GltfError(f"{path}: GLB JSON chunk invalid: {e}")
             elif ctype == 0x004E4942:  # BIN
                 bin_chunk = chunk
             pos += 8 + clen
+        if doc is None:
+            raise GltfError(f"{path}: GLB file has no JSON chunk")
         buffers = []
-        for b in doc.get("buffers", []):
+        for bidx, b in enumerate(doc.get("buffers", [])):
             if "uri" not in b:
+                if b.get("byteLength", 0) > len(bin_chunk):
+                    raise GltfError(
+                        f"{path}: buffer {bidx} declares byteLength "
+                        f"{b['byteLength']} but the BIN chunk holds "
+                        f"{len(bin_chunk)} bytes (truncated BIN chunk)"
+                    )
                 buffers.append(bin_chunk)
             else:
                 buffers.append(_load_buffer_uri(b["uri"], base_dir))
@@ -350,9 +454,19 @@ def load(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
             )
             if "indices" in prim:
                 seq = g.accessor(prim["indices"]).reshape(-1).astype(np.int64)
+                if seq.size and (seq.min() < 0 or seq.max() >= pos.shape[0]):
+                    raise GltfError(
+                        f"primitive index {int(seq.max())} out of range for "
+                        f"{pos.shape[0]} vertices (corrupt index buffer)"
+                    )
             else:
                 seq = np.arange(pos.shape[0], dtype=np.int64)
             if mode == 4:  # TRIANGLES
+                if seq.shape[0] % 3:
+                    raise GltfError(
+                        f"TRIANGLES primitive has {seq.shape[0]} indices "
+                        f"(not a multiple of 3)"
+                    )
                 idx = seq.reshape(-1, 3)
             elif mode == 5:  # TRIANGLE_STRIP: (i, i+1, i+2), winding
                 # alternates so odd triangles swap the first two indices
