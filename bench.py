@@ -56,6 +56,77 @@ REFERENCE = {"bigscene_closest_hit": 5.11, "bigscene_coherent": 4.39,
              "atrium_ivy_wave": 0.75, "roadster_wave": 2.06}
 
 
+def _fwdbwd_metric(results, key, scene, meta, cam, side_d=128, spp_d=4,
+                   reps=3, chain=3, compact=None, rr=False, max_depth=6):
+    """Shared fwd+bwd measurement: rays/s through value_and_grad of the
+    mean image w.r.t. the material table (the BASELINE.json project
+    metric), chained in-graph `chain` times. Default workload shape
+    matches the recorded cornell/atrium fwdbwd rows (max_depth=6,
+    roulette off). `compact`: explicit (split, factor) for the diff
+    staged compaction — the RR-off rows retire lanes slowly, so caps
+    come from measured live fractions (tools/diag_livefrac.py). `rr`:
+    roulette on (production shape; detached-q RR, round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yart_tpu.config import RenderConfig
+    from yart_tpu.ops.qmc import make_sampler
+    from yart_tpu.render.integrator import render_wave
+
+    cfg_d = RenderConfig(
+        samples=spp_d, max_depth=max_depth,
+        rr_start_depth=2 if rr else 99,
+        compact_depth=compact[0] if compact else "auto",
+        compact_factor=compact[1] if compact else 4,
+    )
+    sampler_d = make_sampler(cfg_d.sampler, cfg_d.samples,
+                             (side_d, side_d), cfg_d.seed)
+    yy, xx = np.meshgrid(np.arange(side_d), np.arange(side_d),
+                         indexing="ij")
+    px = jnp.asarray(np.repeat(xx.reshape(-1), spp_d), jnp.int32)
+    py = jnp.asarray(np.repeat(yy.reshape(-1), spp_d), jnp.int32)
+    sidxs = [
+        jnp.asarray(
+            np.roll(np.tile(np.arange(spp_d), side_d * side_d), r),
+            jnp.uint32,
+        )
+        for r in range(1 + reps)
+    ]
+
+    def loss(base_color, scene, px, py, sidx):
+        s = scene._replace(
+            materials=scene.materials._replace(base_color=base_color)
+        )
+        radiance, rays = render_wave(
+            s, meta, cam, sampler_d, cfg_d, px, py, sidx,
+            differentiable=True,
+        )
+        return jnp.mean(radiance), rays
+
+    vg = jax.value_and_grad(loss, has_aux=True)
+
+    @jax.jit
+    def gk(bc, scene, px, py, sidx):
+        total = jnp.zeros((), jnp.float32)
+        g = None
+        for _ in range(chain):
+            bci = bc if g is None else bc + g * 1e-30
+            (val, rays), g = vg(bci, scene, px, py, sidx)
+            total = total + rays.astype(jnp.float32)
+        return g, total
+
+    g, total = gk(scene.materials.base_color, scene, px, py, sidxs[0])
+    float(jnp.sum(g.reshape(-1)[:8]))
+    t0 = time.time()
+    rays_total = 0.0
+    for r in range(reps):
+        g, total = gk(scene.materials.base_color, scene, px, py,
+                      sidxs[1 + r])
+        float(jnp.sum(g.reshape(-1)[:8]))
+        rays_total += float(total)
+    results[key] = rays_total / (time.time() - t0) / 1e6
+
+
 def bench_bigscene(results):
     """Chained in-graph throughput (K traversals inside ONE jit, each
     data-dependent on the previous so nothing hoists or CSEs, one sync at
@@ -186,7 +257,11 @@ def bench_cornell(results):
     # ---- forward+backward: grad of mean image w.r.t. the material table ----
     import jax.tree_util as jtu
 
-    cfg_d = RenderConfig(samples=spp, max_depth=6, rr_start_depth=99)
+    # compact (4, 2): measured RR-off retirement (cornell live@4 = 0.43,
+    # tools/diag_livefrac.py) — the diff scan's bounces 4-5 run at half
+    # width, no overflow into the gated drain.
+    cfg_d = RenderConfig(samples=spp, max_depth=6, rr_start_depth=99,
+                         compact_depth=4, compact_factor=2)
 
     def loss(base_color, scene, px, py, sidx):
         s = scene._replace(
@@ -291,7 +366,10 @@ def bench_atrium(results):
     # big-scene wave is the one shape never compiled before a bench run,
     # so keep its first compile (and HBM footprint) bounded.
     side_d, spp_d = 128, 4
-    cfg_d = RenderConfig(samples=spp_d, max_depth=6, rr_start_depth=99)
+    # compact (4, 2): measured RR-off retirement (atrium live@4 = 0.42,
+    # tools/diag_livefrac.py).
+    cfg_d = RenderConfig(samples=spp_d, max_depth=6, rr_start_depth=99,
+                         compact_depth=4, compact_factor=2)
     sampler_d = make_sampler(cfg_d.sampler, cfg_d.samples, (side_d, side_d),
                              cfg_d.seed)
     yy, xx = np.meshgrid(np.arange(side_d), np.arange(side_d),
@@ -342,6 +420,14 @@ def bench_atrium(results):
         float(jnp.sum(g.reshape(-1)[:8]))
         rays_total += float(total)
     results["atrium_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
+
+    # Production-shape fwd+bwd (round 5): roulette ON (detached-q RR),
+    # max_depth=8 — the same workload as atrium_wave. With RR the live
+    # fraction at depth 2 is 0.14 (diag_livefrac), so the diff scan's
+    # auto compaction (2, 4) applies and the metric reflects what an
+    # inverse-rendering loop on the flagship actually pays.
+    _fwdbwd_metric(results, "atrium_fwdbwd_rr", scene, meta, cam,
+                   rr=True, max_depth=8)
 
 
 def bench_atrium_ivy(results):
@@ -402,6 +488,13 @@ def bench_atrium_ivy(results):
         rays_total += float(total)
     results["atrium_ivy_wave"] = rays_total / (time.time() - t0) / 1e6
 
+    # fwd+bwd through the ALPHA-GATED traversal (the backward path the
+    # round-4 benches never measured: detached alpha stream + texture
+    # grads on the same atlas the alpha gate reads). compact (4, 2) from
+    # the measured RR-off retirement (live@4 = 0.42, diag_livefrac).
+    _fwdbwd_metric(results, "atrium_ivy_fwdbwd", scene, meta, cam,
+                   compact=(4, 2))
+
 
 def bench_roadster(results):
     """Clearcoat + volumetric-glass flagship class (the reference's
@@ -458,6 +551,12 @@ def bench_roadster(results):
         float(jnp.sum(out[:8]))
         rays_total += float(total)
     results["roadster_wave"] = rays_total / (time.time() - t0) / 1e6
+
+    # fwd+bwd through the clearcoat + volumetric-glass shade VJPs
+    # (unmeasured before round 5). The roadster retires fast even with
+    # roulette off (live@2 = 0.17, diag_livefrac) -> compact (2, 4).
+    _fwdbwd_metric(results, "roadster_fwdbwd", scene, meta, cam,
+                   compact=(2, 4))
 
 
 def bench_shade_kernel(results):

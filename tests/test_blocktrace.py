@@ -257,3 +257,24 @@ def test_rekey_nee_bit_exact(scene_rays):
     np.testing.assert_array_equal(
         np.asarray(h0.mask), np.asarray(h1.mask)
     )
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_rekey_q16_bit_exact(scene_rays, nee):
+    """Quantized u16 emask (round 5): the re-key drop test compares
+    top-16-bit truncated entries against a one-step-rounded-UP current t,
+    so it is strictly over-inclusive — results must stay bit-identical
+    to both the f32-emask rekey and the plain loop."""
+    scene, meta, o, d = scene_rays
+    h0 = intersect_blocktrace(
+        scene, meta, o, d, 100.0, nee=nee, rekey=0, interpret=True
+    )
+    hq = intersect_blocktrace(
+        scene, meta, o, d, 100.0, nee=nee, rekey=2, rekey_q16=True,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hq.t))
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(hq.tri))
+    np.testing.assert_array_equal(
+        np.asarray(h0.mask), np.asarray(hq.mask)
+    )

@@ -341,3 +341,96 @@ def test_compact_depth_bit_identical(cornell_scene):
         )()
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert float(ra) == float(rb)
+
+
+# ---- round 5: per-wave compaction autotune ------------------------------
+
+def test_choose_compaction_rules():
+    """Decision logic on synthetic retirement curves (counts per depth)."""
+    from yart_tpu.render.renderer import choose_compaction
+
+    n, d = 1000, 8
+    # Fast env retirement (atrium-like): 20% live at depth 2.
+    live = np.array([1000, 450, 200, 90, 40, 18, 8, 3], np.float64)
+    ch = choose_compaction(live, n, d)
+    assert ch is not None
+    split, factor = ch
+    # Feasible: live at the split fits the cap with 20% headroom.
+    assert live[split] <= 0.8 * n / factor
+    # Closed room, no RR retirement: nearly everything stays live.
+    live = np.array([1000, 990, 930, 880, 840, 800, 760, 730], np.float64)
+    assert choose_compaction(live, n, d) is None
+    # Everything dead after bounce 1: nothing left to compact profitably
+    # (the while_loop already exits).
+    live = np.array([1000, 0, 0, 0, 0, 0, 0, 0], np.float64)
+    assert choose_compaction(live, n, d) is None
+    # Windowed interior: env-lit but slow retirement — must NOT compact
+    # at a tight cap; any accepted choice must be feasible.
+    live = np.array([1000, 920, 800, 700, 610, 530, 460, 400], np.float64)
+    ch = choose_compaction(live, n, d)
+    if ch is not None:
+        split, factor = ch
+        assert live[split] <= 0.8 * n / factor
+
+
+def test_autotune_windowed_interior_overrides_env_guess(cornell_scene):
+    """An env-lit but enclosed interior (windowed_interior) must measure
+    its way OFF the has_env static guess: the first wave runs with the
+    (2, 4) guess, later waves with the autotuned choice — and the image
+    must equal a compaction-off render bit-for-bit (compaction is
+    value-transparent)."""
+    import dataclasses
+
+    from yart_tpu.scene.procedural import windowed_interior
+
+    scene, meta = windowed_interior().compile()
+    assert meta.has_env
+    cam = CameraConfig(image_size=(16, 16), focal_length=28.0,
+                       position=(0, 1.0, 0.8), forward=(0, 0, -1))
+    cfg = RenderConfig(samples=4, max_depth=8, tonemap="none",
+                       estimator="mean", first_wave_samples=2,
+                       max_wave_samples=2)
+    waves = []
+    r = Renderer(scene, meta, cam, cfg)
+    img = r.render(on_wave=lambda wd, _: waves.append(wd)).hdr
+    assert len(waves) == 2
+    # Wave 0 ran the static env guess; the autotune must measure the slow
+    # retirement (window only) and pick something feasible — for this
+    # scene the live fraction at depth 2 is far above 0.8/4, so the
+    # (2, 4) guess must NOT survive.
+    assert waves[0].compact == (2, 4)
+    assert waves[0].live is not None and waves[0].live[0] > 0
+    n0 = 16 * 16 * 2
+    if waves[1].compact is not None:
+        s_, f_ = waves[1].compact
+        assert waves[1].live[s_] <= 0.8 * n0 / f_ * 1.05
+    else:
+        assert waves[1].compact is None
+    # A high live fraction at depth 2 rules the static guess infeasible.
+    assert waves[0].live[2] > 0.8 * n0 / 4
+    assert waves[1].compact != (2, 4)
+
+    # Value transparency: identical image with compaction forced off.
+    cfg_off = dataclasses.replace(cfg, compact_depth=None)
+    img_off = Renderer(scene, meta, cam, cfg_off).render().hdr
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img_off))
+
+
+def test_autotune_closed_scene_stays_off(cornell_scene):
+    """Cornell (no env): static guess is off; the autotune may enable
+    compaction only with a measured-feasible choice, and the image must
+    stay identical to the forced-off render."""
+    import dataclasses
+
+    scene, meta = cornell_scene
+    cfg = RenderConfig(samples=4, max_depth=6, tonemap="none",
+                       estimator="mean", first_wave_samples=2,
+                       max_wave_samples=2)
+    waves = []
+    img = Renderer(scene, meta, cornell_cam(16), cfg).render(
+        on_wave=lambda wd, _: waves.append(wd)
+    ).hdr
+    assert waves[0].compact is None  # static guess for a no-env scene
+    cfg_off = dataclasses.replace(cfg, compact_depth=None)
+    img_off = Renderer(scene, meta, cornell_cam(16), cfg_off).render().hdr
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img_off))

@@ -57,15 +57,18 @@ class RenderConfig:
     # Per-sample radiance clamp (pre-exposure), None = off. A standard
     # production firefly-suppression knob the reference lacks; biased.
     clamp: Optional[float] = None
-    # Staged wavefront compaction (non-diff forward only): after
-    # `compact_depth` bounces, surviving lanes compact into
-    # n / compact_factor lanes and later bounces run at reduced width
-    # (overflow lanes drain exactly at full width — exact for any cap).
-    # Bit-identical images for any setting (counter-based sampling).
-    # "auto" = 2 for env-lit scenes (escape paths retire early: measured
-    # atrium +50%, roadster +78%, ivy +44%), off for closed scenes (a
-    # cornell box keeps >1/factor of its lanes alive past the split and
-    # the overflow drain costs ~-28% — BASELINE.md round 4).
+    # Staged wavefront compaction: after `compact_depth` bounces,
+    # surviving lanes compact into n / compact_factor lanes and later
+    # bounces run at reduced width (overflow lanes drain exactly at full
+    # width — exact for any cap). Bit-identical images for any setting
+    # (counter-based sampling). "auto" = 2 for env-lit scenes (escape
+    # paths retire early: measured atrium +50%, roadster +78%, ivy +44%),
+    # off for closed scenes (a cornell box keeps >1/factor of its lanes
+    # alive past the split and the overflow drain costs ~-28% —
+    # BASELINE.md round 4). Round 5: also applied to the DIFFERENTIABLE
+    # scan (full-width stage, differentiable gather, compacted stage,
+    # cond-gated overflow drain) — gradients flow through the gathers;
+    # see li()'s staged-scan block.
     compact_depth: object = "auto"  # "auto" | int | None
     compact_factor: int = 4
     # TPU execution knobs (no reference analog):

@@ -216,7 +216,7 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
                   pack_vmem: bool, mxu_test: bool, kbatch: int,
                   ablate: int, instanced: bool, groups: int,
                   tfuse: bool, amask: bool, rekey: int, minleft: int,
-                  *refs):
+                  rekey_q16: bool, *refs):
     if instanced:
         (blive_ref, csrc_ref, cinst_ref, cfid_ref, itf_ref,
          rays_ref, *rest) = refs
@@ -262,6 +262,7 @@ def _fused_kernel(c: int, t_min: float, nee: bool, n_clus: int,
             rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
             *scratch, ablate=ablate, inst=inst, groups=groups,
             tfuse=tfuse, amask=amask, rekey=rekey, minleft=minleft,
+            rekey_q16=rekey_q16,
         )
 
 
@@ -270,7 +271,8 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                 rays_ref, rays_t_ref, boxes_ref, pack_ref, out_ref,
                 *scratch, ablate: int = 0, inst=None, groups: int = 1,
                 tfuse: bool = False, amask: bool = False,
-                rekey: int = 0, minleft: int = 8):
+                rekey: int = 0, minleft: int = 8,
+                rekey_q16: bool = False):
     block = rays_ref.shape[0]
     cpad = boxes_ref.shape[1]
 
@@ -323,7 +325,18 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
         # Per-(ray, cluster) masked entries cached for the re-key drop
         # test: a re-key is then ONE compare + any-reduce against the
         # rays' current t instead of a full box re-sweep.
-        emask_ref[...] = jnp.where(hit, e, F32_MAX)
+        if rekey_q16:
+            # Quantized u16 store (round 5): the eager store costs live
+            # coherent blocks ~2-3% and the re-key compare runs at
+            # [block, cpad] width — both halve in u16. Monotone map for
+            # positive floats: the TOP 16 bits of the f32 pattern
+            # (truncation = conservative round DOWN for the entry side).
+            # The drop test stays over-inclusive — see rk_body — so
+            # results are bit-identical to the f32 emask.
+            eb = lax.bitcast_convert_type(e, jnp.int32) >> 16
+            emask_ref[...] = jnp.where(hit, eb, 0xFFFF).astype(jnp.uint16)
+        else:
+            emask_ref[...] = jnp.where(hit, e, F32_MAX)
     cid_iota = lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
 
     def entry_keys(rows):
@@ -524,9 +537,26 @@ def _fused_body(c: int, t_min: float, nee: bool, n_clus: int,
                     t_cur2 = jnp.where(cid_best >= 0, 0.0, t_cur)
                 else:
                     t_cur2 = t_cur
-                can = jnp.any(
-                    emask_ref[...] < t_cur2, axis=0, keepdims=True
-                )  # [1, cpad]
+                if rekey_q16:
+                    # u16 compare against the quantized store: the t side
+                    # rounds UP one quantization step (top-16-bits + 1),
+                    # so e < t always implies q_dn(e) < q_up(t) — the
+                    # drop test stays over-inclusive (keeping an
+                    # unimprovable cluster is slow-but-exact; dropping an
+                    # improvable one would be wrong). Dead lanes carry
+                    # t = -1: clamp to 0 so the monotone positive-float
+                    # bit map applies (q_up(0) = 1, below every entry).
+                    tb = lax.bitcast_convert_type(
+                        jnp.maximum(t_cur2, 0.0), jnp.int32
+                    )
+                    tb16 = ((tb >> 16) + 1).astype(jnp.uint16)
+                    can = jnp.any(
+                        emask_ref[...] < tb16, axis=0, keepdims=True
+                    )  # [1, cpad]
+                else:
+                    can = jnp.any(
+                        emask_ref[...] < t_cur2, axis=0, keepdims=True
+                    )  # [1, cpad]
                 return (jnp.asarray(False), jnp.where(
                     can & (key_row >= m2), key_row, KEY_DEAD
                 ))
@@ -988,7 +1018,7 @@ def presort_keys_pallas(rays, clus_box, n_clus: int, t_min: float,
     static_argnames=(
         "block", "c", "t_min", "nee", "pack_vmem", "mxu_test", "kbatch",
         "ablate", "n_clus", "interpret", "groups", "tfuse", "amask",
-        "rekey", "minleft",
+        "rekey", "minleft", "rekey_q16",
     ),
 )
 def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
@@ -1003,6 +1033,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
                        amask: bool = False,
                        rekey: int = 0,
                        minleft: int = 8,
+                       rekey_q16: bool = False,
                        clus_src=None,
                        clus_inst=None,
                        clus_fid=None,
@@ -1074,7 +1105,10 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             (1, block, 8), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=(
-            [pltpu.VMEM((block, cpad), jnp.float32)] if rekey else []
+            [pltpu.VMEM(
+                (block, cpad),
+                jnp.uint16 if rekey_q16 else jnp.float32,
+            )] if rekey else []
         )
         + (
             []
@@ -1096,7 +1130,7 @@ def fused_trace_pallas(rays, clus_box, clus_pack, block: int, c: int,
             _fused_kernel, c, t_min, nee,
             clus_pack.shape[0] if n_clus is None else int(n_clus),
             pack_vmem, mxu_test, kbatch, ablate, instanced, groups, tfuse,
-            amask, rekey, minleft,
+            amask, rekey, minleft, rekey_q16,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, 8), jnp.float32),

@@ -34,6 +34,7 @@ the integrator-level test asserts image equivalence.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from yart_tpu.ops import lut
 
@@ -49,6 +50,7 @@ GLOSSY = 16
 SPECULAR = 32
 
 SMOOTH_ALPHA = 1e-3
+ALPHA_FLOOR = 1e-4  # = ops/ggx.py ALPHA_FLOOR (reverse-mode guard)
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +221,10 @@ def ggx_mdf(ax, ay, w):
     ok = cos2t > 1e-12
     tan2t = jnp.where(ok, sin2t, 0.0) / jnp.where(ok, cos2t, 1.0)
     cos4t = jnp.where(ok, cos2t * cos2t, 1.0)
+    # Alpha floor = ops/ggx.py ALPHA_FLOOR (reverse-mode guard: without it
+    # a roughness-0 lane's masked-out 1/alpha^2 = inf NaNs the backward).
+    ax = jnp.maximum(ax, ALPHA_FLOOR)
+    ay = jnp.maximum(ay, ALPHA_FLOOR)
     k = tan2t * (cos2p / (ax * ax) + sin2p / (ay * ay))
     k2 = (1.0 + k) * (1.0 + k)
     d = 1.0 / (PI * ax * ay * cos4t * k2)
@@ -268,6 +274,8 @@ def sample_cosine_hemisphere(u0, u1):
 
 def sample_visible(ax, ay, w, u0, u1):
     """Heitz VNDF sampling (ops/ggx.py sample_visible, bsdf.hpp:243-271)."""
+    ax = jnp.maximum(ax, ALPHA_FLOOR)  # reverse-mode guard (ggx_mdf note)
+    ay = jnp.maximum(ay, ALPHA_FLOOR)
     wh = vnormalize((ax * w[0], ay * w[1], w[2]))
     wh = vwhere(wh[2] < 0.0, vneg(wh), wh)
 
@@ -1201,6 +1209,11 @@ def finish(inp, cand, fet, gates, mis=True, any_lights=True,
             0.0,
             1.0 - jnp.maximum(atten_new[0], jnp.maximum(atten_new[1], atten_new[2])),
         )
+        if detach:
+            # Detached-sampling RR: the 1/(1-q) reweight must not carry
+            # parameter dependence or the gradient gains a spurious
+            # f·q'/(1-q) term (see the classic body, render/integrator.py).
+            q = lax.stop_gradient(q)
         rr_on = inp["rr_on"] & active
         killed = rr_on & (inp["u_rr"] < q)
         active = active & ~killed

@@ -28,6 +28,17 @@ from yart_tpu.ops.vecmath import absdot, normalize, safe_sqrt
 
 PI = jnp.pi
 SMOOTH_ALPHA = 1e-3
+# Backward-pass guard (round 5): alphas entering denominators are clamped
+# to this FLOOR, strictly below the SMOOTH_ALPHA cutoff. Rough lanes
+# (alpha >= SMOOTH_ALPHA) are never altered, and smooth lanes' rough-branch
+# values are masked out by every caller (`~smooth(a)` gates / delta-lobe
+# selects), so forward results are bit-identical — but without the clamp a
+# roughness-0 material NaNs the whole gradient: 1/alpha^2 = inf inside the
+# masked-out branch turns the masked zero cotangent into 0 * inf = NaN in
+# reverse mode (the double-where rule), and one NaN lane contaminates every
+# parameter row through the loss reduction (measured: material_test_spheres
+# base-color grads were all-NaN before this).
+ALPHA_FLOOR = 1e-4
 
 
 class Alphas(NamedTuple):
@@ -80,9 +91,11 @@ def mdf(a: Alphas, w):
     # is 1e40 = inf even when the quotient itself is where-masked.
     tan2t = jnp.where(ok, sin2t, 0.0) / jnp.where(ok, cos2t, 1.0)
     cos4t = jnp.where(ok, cos2t * cos2t, 1.0)
-    k = tan2t * (cos2p / (a.ax * a.ax) + sin2p / (a.ay * a.ay))
+    ax = jnp.maximum(a.ax, ALPHA_FLOOR)  # reverse-mode guard, see above
+    ay = jnp.maximum(a.ay, ALPHA_FLOOR)
+    k = tan2t * (cos2p / (ax * ax) + sin2p / (ay * ay))
     k2 = (1.0 + k) * (1.0 + k)
-    d = 1.0 / (PI * a.ax * a.ay * cos4t * k2)
+    d = 1.0 / (PI * ax * ay * cos4t * k2)
     # Grazing w (cos ~ 0) blows up; the reference lets it and discards the
     # sample — here return 0 to keep NaNs out of the wavefront.
     return jnp.where(ok, d, 0.0)
@@ -119,9 +132,14 @@ def sample_visible(a: Alphas, w, u):
 
     Returns a sampled half-vector wm with wm.z >= 1e-6.
     """
-    # Ellipsoid -> hemisphere stretch.
+    # Ellipsoid -> hemisphere stretch. Alphas floored (reverse-mode guard,
+    # see ALPHA_FLOOR): smooth lanes' sampled wm is replaced by the delta
+    # direction in every caller, but alpha-0 here can normalize a
+    # near-zero vector at grazing wo and NaN the backward.
+    ax = jnp.maximum(a.ax, ALPHA_FLOOR)
+    ay = jnp.maximum(a.ay, ALPHA_FLOOR)
     wh = normalize(
-        jnp.stack([a.ax * w[..., 0], a.ay * w[..., 1], w[..., 2]], axis=-1)
+        jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1)
     )
     wh = jnp.where(wh[..., 2:3] < 0.0, -wh, wh)
 
@@ -145,8 +163,8 @@ def sample_visible(a: Alphas, w, u):
     return normalize(
         jnp.stack(
             [
-                a.ax * nh[..., 0],
-                a.ay * nh[..., 1],
+                ax * nh[..., 0],
+                ay * nh[..., 1],
                 jnp.maximum(1e-6, nh[..., 2]),
             ],
             axis=-1,

@@ -63,6 +63,11 @@ TRACE_GROUPS = int(os.environ.get("YART_TRACE_GROUPS", "1"))
 # queues with >= that many clusters left (protects light blocks).
 TRACE_REKEY = int(os.environ.get("YART_TRACE_REKEY", "2"))
 TRACE_MINLEFT = int(os.environ.get("YART_TRACE_MINLEFT", "8"))
+# Quantized u16 emask for the re-key drop test (round 5): halves the
+# eager per-block store and the re-key compare width; conservative
+# one-step-up rounding on the t side keeps results bit-identical
+# (kernels/pallas_fusedtrace.py). Default off until measured on-chip.
+TRACE_REKEY_Q16 = int(os.environ.get("YART_TRACE_REKEY_Q16", "0"))
 # Gated-loop tail compaction buffer = n // TRACE_CAPDIV (render/blocktrace
 # intersect_blocktrace_gated). The flagship ivy cast ladder decays 524k ->
 # 80k -> 28k: n/6 captures the survivors after ONE full-width cast where
@@ -224,6 +229,7 @@ def intersect_blocktrace(
     groups: int = None,
     rekey: int = None,
     minleft: int = None,
+    rekey_q16: bool = None,
     order_info=None,
     amask: bool = False,
     interpret: bool = False,
@@ -260,6 +266,8 @@ def intersect_blocktrace(
         rekey = TRACE_REKEY
     if minleft is None:
         minleft = TRACE_MINLEFT
+    if rekey_q16 is None:
+        rekey_q16 = bool(TRACE_REKEY_Q16)
     n = o.shape[0]
     c = meta.cluster_size
     t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -329,8 +337,8 @@ def intersect_blocktrace(
         res = fused_trace_pallas(
             rays_s, scene.clus_box, scene.clus_pack, block, c, t_min,
             nee=nee, kbatch=kbatch, groups=groups, rekey=rekey,
-            minleft=minleft, blive=blive, amask=amask,
-            interpret=interpret, **inst_kw,
+            minleft=minleft, rekey_q16=rekey_q16, blive=blive,
+            amask=amask, interpret=interpret, **inst_kw,
         )[inv[:n]]
         tri = lax.bitcast_convert_type(res[:, 4], jnp.int32)
         return Hit(

@@ -293,6 +293,7 @@ def _shade_kernel_body(
         last_p=s3(out["last_p"]),
         depth=depth + 1,
         rays=rays,
+        live=st.live,
     )
 
 
@@ -377,6 +378,9 @@ class _State(NamedTuple):
     last_p: jnp.ndarray
     depth: jnp.ndarray  # scalar int32
     rays: jnp.ndarray  # scalar int64-ish counter (float32 to psum cheaply)
+    live: jnp.ndarray  # [max_depth] f32: active-lane count entering bounce k
+    # (one 31-float dynamic_update_slice per bounce — free next to a bounce;
+    # feeds the per-wave compaction autotune and live-fraction diagnostics)
 
 
 def li(
@@ -389,11 +393,13 @@ def li(
     cfg: RenderConfig,
     mis: bool = True,
     differentiable: bool = False,
+    return_live: bool = False,
 ):
     """Trace radiance for a wavefront of camera rays.
 
-    Returns (L [N, 3], ray_count []). `lane_state` is the sampler per-lane
-    state from `sampler.init_lanes`.
+    Returns (L [N, 3], ray_count []) — plus a [max_depth] per-depth
+    active-lane count when return_live=True (compaction autotune probe).
+    `lane_state` is the sampler per-lane state from `sampler.init_lanes`.
 
     differentiable=True makes the result reverse-differentiable w.r.t. scene
     parameters (material table, emission, env image) using detached sampling:
@@ -427,6 +433,7 @@ def li(
         last_p=jnp.zeros((n, 3), jnp.float32),
         depth=jnp.asarray(0, jnp.int32),
         rays=jnp.asarray(0.0, jnp.float32),
+        live=jnp.zeros((cfg.max_depth,), jnp.float32),
     )
 
     def cond(st: _State):
@@ -443,7 +450,9 @@ def li(
             n = st.active.shape[0]  # lane count of THIS stage
             depth = st.depth
             dim0 = jnp.asarray(4, jnp.uint32) + depth.astype(jnp.uint32) * 8
-            rays = st.rays + jnp.sum(st.active.astype(jnp.float32))
+            n_act = jnp.sum(st.active.astype(jnp.float32))
+            rays = st.rays + n_act
+            st = st._replace(live=st.live.at[depth].add(n_act))
 
             # Fresh alpha-test stream per bounce (the reference draws these from
             # the sampler mid-traversal, ray-integrator.cpp:211).
@@ -628,6 +637,16 @@ def li(
             if mis:
                 u_rr = sampler.get1d(lane_state, dim0 + 7)
                 q = jnp.maximum(0.0, 1.0 - max_component(atten))
+                # Detached-sampling RR (round 5): the kill probability is a
+                # sampling decision. Detaching BOTH the decision and the
+                # 1/(1-q) reweight keeps the gradient unbiased —
+                # E[d(f/(1-q))·1{survive}] picks up a spurious
+                # f·q'/(1-q) term from the differentiable reweight that
+                # only the (invisible-to-AD) indicator's boundary term
+                # would cancel; with q detached, E[AD] = (1-q)·f'/(1-q)
+                # = f' exactly. Unlocks RR-on differentiable rendering
+                # (production inverse rendering keeps roulette for speed).
+                q = sg(q)
                 rr_on = (depth_new >= cfg.rr_start_depth) & active
                 killed = rr_on & (u_rr < q)
                 active = active & ~killed
@@ -648,6 +667,7 @@ def li(
                 last_p=jnp.where(active[..., None], sh.p, st.last_p),
                 depth=depth_new,
                 rays=rays,
+                live=st.live,
             )
 
         return body
@@ -655,9 +675,6 @@ def li(
     body = make_body(lane_state)
 
     if differentiable:
-        def scan_body(st, _):
-            return body(st), None
-
         # Rematerialize each bounce in the backward pass: without this the
         # scan stores every in-bounce intermediate (intersections, BSDF
         # internals) for all depths, which does not fit HBM at image scale.
@@ -686,14 +703,95 @@ def li(
             if cfg.remat == "trace_lut"
             else contextlib.nullcontext()
         )
+
+        def run_scan(st0, body_fn, length, gate=False):
+            """One checkpointed scan stage. gate=True wraps the bounce in
+            lax.cond(any active): the body (including its traversal
+            kernels) only EXECUTES while lanes are live — the scan-can't-
+            early-exit analog of the while_loop's exit. Only used for the
+            overflow drain, where the branch is normally never taken:
+            inside a cond the 'trace' checkpoint_name sites are invisible
+            to the remat policy, so a TAKEN gated bounce re-runs its
+            traversal in the backward sweep (acceptable for the rare
+            mis-tuned-cap case, fatal for the main path)."""
+            if length <= 0:
+                return st0
+
+            def scan_body(st, _):
+                if gate:
+                    st2 = lax.cond(
+                        jnp.any(st.active),
+                        body_fn,
+                        lambda s: s._replace(depth=s.depth + 1),
+                        st,
+                    )
+                else:
+                    st2 = body_fn(st)
+                return st2, None
+
+            st1, _ = lax.scan(
+                jax.checkpoint(scan_body, prevent_cse=False, policy=policy),
+                st0, None, length=length,
+            )
+            return st1
+
+        # ---- staged wavefront compaction, differentiable flavor (round
+        # 5; the round-4 forward win could not transfer directly because
+        # reverse-mode through lax.while_loop is unsupported). The scan
+        # splits into: full-width bounces [0, split), a stable-argsort
+        # compaction of survivors into n/compact_factor lanes, compacted
+        # bounces [split, max_depth), and a cond-gated full-width drain
+        # for overflow lanes (normally zero iterations of real work).
+        # Compaction is DIFFERENTIABLE: the state gather's transpose is a
+        # scatter-add and the L merge-back's transpose is a gather, so
+        # gradients flow through the compacted bounces unchanged; indices
+        # themselves are stop-gradient. Per-lane sampler state rides the
+        # gather, so the radiance is bit-identical to the uncompacted
+        # scan (tests/test_diff.py::test_diff_compact_*).
+        split = cfg.compact_depth
+        if split == "auto":
+            # Diff-mode auto needs roulette ON for the env heuristic to
+            # hold: without RR, env scenes keep ~60% of lanes live at
+            # depth 2 (tools/diag_livefrac.py — atrium 0.61, ivy 0.61 at
+            # rr_start_depth=99) and a n/4 cap would overflow into the
+            # full-width drain. RR-off diff configs (FD tests, the
+            # recorded fwd+bwd bench rows) must opt in explicitly with
+            # a measured (split, factor).
+            rr_live = cfg.rr_start_depth < cfg.max_depth
+            split = 2 if (meta.has_env and rr_live) else None
+        cap = 0
+        if split and split < cfg.max_depth:
+            cap = max(
+                128, (n // max(cfg.compact_factor, 2)) // 128 * 128
+            )
         with ctx:
             # Arm the 'lut' checkpoint_name sites only while TRACING the
             # differentiable scan: the name op is an XLA optimization
             # barrier and measurably slows the plain forward path.
-            st, _ = lax.scan(
-                jax.checkpoint(scan_body, prevent_cse=False, policy=policy),
-                st, None, length=cfg.max_depth,
-            )
+            if not cap or cap >= n:
+                st = run_scan(st, body, cfg.max_depth)
+            else:
+                st = run_scan(st, body, split)
+                idx = lax.stop_gradient(jnp.argsort(~st.active)[:cap])
+                take = lambda a: a[idx]
+                st_c = _State(
+                    o=take(st.o), d=take(st.d), L=take(st.L),
+                    atten=take(st.atten), active=take(st.active),
+                    specular=take(st.specular),
+                    acc_rough=take(st.acc_rough),
+                    last_pdf=take(st.last_pdf), last_p=take(st.last_p),
+                    depth=st.depth, rays=st.rays, live=st.live,
+                )
+                body_c = make_body(jax.tree_util.tree_map(take, lane_state))
+                st_c = run_scan(st_c, body_c, cfg.max_depth - split)
+                in_idx = jnp.zeros((n,), bool).at[idx].set(True)
+                st = st._replace(
+                    L=st.L.at[idx].set(st_c.L),
+                    active=st.active & ~in_idx,
+                    rays=st_c.rays,
+                    live=st_c.live,
+                )
+                st = run_scan(st, body, cfg.max_depth - split, gate=True)
     else:
         split = cfg.compact_depth
         if split == "auto":
@@ -732,7 +830,7 @@ def li(
                 atten=take(st.atten), active=take(st.active),
                 specular=take(st.specular), acc_rough=take(st.acc_rough),
                 last_pdf=take(st.last_pdf), last_p=take(st.last_p),
-                depth=st.depth, rays=st.rays,
+                depth=st.depth, rays=st.rays, live=st.live,
             )
             body_c = make_body(jax.tree_util.tree_map(take, lane_state))
             st_c = lax.while_loop(cond, body_c, st_c)
@@ -744,8 +842,11 @@ def li(
                 L=st.L.at[idx].set(st_c.L),
                 active=st.active & ~in_idx,
                 rays=st_c.rays,
+                live=st_c.live,
             )
             st = lax.while_loop(cond, body, st)
+    if return_live:
+        return st.L, st.rays, st.live
     return st.L, st.rays
 
 
@@ -759,13 +860,15 @@ def render_wave(
     py,
     sample_idx,
     differentiable: bool = False,
+    return_live: bool = False,
 ):
     """Camera raygen + Li for a batch of (pixel, sample) lanes.
 
     px, py: [N] int32 pixel coords; sample_idx: [N] uint32 global sample
     indices (wave offset included — deterministic across waves,
     src/cpu/integrator.cpp:20).
-    Returns (radiance [N, 3] scaled by exposure, ray_count []).
+    Returns (radiance [N, 3] scaled by exposure, ray_count []) — plus a
+    [max_depth] per-depth active count when return_live=True.
     """
     lane_state = sampler.init_lanes(
         px.astype(jnp.uint32), py.astype(jnp.uint32), sample_idx
@@ -773,14 +876,19 @@ def render_wave(
     u_film = sampler.get2d(lane_state, jnp.uint32(0))
     u_lens = sampler.get2d(lane_state, jnp.uint32(2))
     o, d = generate_rays(cam, px, py, u_film, u_lens)
-    L, rays = li(
+    out = li(
         scene, meta, sampler, lane_state, o, d, cfg,
         mis=cfg.integrator == "mis", differentiable=differentiable,
+        return_live=return_live,
     )
+    L, rays = out[0], out[1]
     if cfg.clamp is not None:
         # Per-sample radiance clamp (production firefly suppression the
         # reference lacks — its only defense is GMoN's bucket trim,
         # estimator.hpp:148-198). Applied PRE-exposure so the knob is
         # scene-relative; biased like every clamp, off by default.
         L = jnp.minimum(L, jnp.float32(cfg.clamp))
-    return L * cam.exposure_scale, rays
+    L = L * cam.exposure_scale
+    if return_live:
+        return L, rays, out[2]
+    return L, rays

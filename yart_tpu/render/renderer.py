@@ -43,6 +43,11 @@ class WaveData:
     total_samples: int
     rays: float
     time: float
+    # Effective staged-compaction setting this wave ran with: None (off),
+    # or (split, factor). Records the per-wave autotune's choice.
+    compact: object = None
+    # Per-depth live-lane counts measured across the wave (numpy array).
+    live: object = None
 
 
 @dataclasses.dataclass
@@ -72,6 +77,43 @@ class RenderResult:
     samples_taken: int
     total_rays: float
     total_time: float
+
+
+def choose_compaction(live, n: int, max_depth: int):
+    """Pick (split, factor) for staged wavefront compaction from MEASURED
+    per-depth live-lane counts (round-5 replacement for the single-bit
+    `has_env` heuristic — an env-lit but mostly-enclosed interior keeps
+    too many survivors and used to get compaction guessed "on").
+
+    Cost model (BASELINE.md measured laws): a bounce costs ~its lane
+    width (shade fusions + traversal scheduling scale with wavefront
+    width); the compaction itself (argsort + state gathers both ways)
+    costs ~0.75 bounce-width-equivalents. A factor is feasible at a
+    split only with >=20% headroom below the cap (live <= 0.8 * n/f):
+    overflow drains are exact but run real full-width bounces. Adopt
+    only a >=20% predicted win — switching the choice re-jits the wave
+    function, so marginal wins are not worth a recompile.
+
+    Returns (split, factor) or None (= run uncompacted).
+    """
+    live = np.asarray(live, np.float64)
+    n = float(max(n, 1))
+    ran = np.nonzero(live > 0)[0]
+    if ran.size == 0:
+        return None
+    d_max = int(ran[-1]) + 1  # bounces the while_loop actually ran
+    best = None
+    for split in range(1, d_max):
+        frac = live[split] / n
+        for factor in (8, 6, 4, 3, 2):
+            if frac <= 0.8 / factor:
+                cost = split + (d_max - split) / factor + 0.75
+                if best is None or cost < best[0]:
+                    best = (cost, split, factor)
+                break  # keep the LARGEST feasible factor for this split
+    if best is not None and best[0] <= 0.8 * d_max:
+        return int(best[1]), int(best[2])
+    return None
 
 
 def wave_plan(total: int, first: int, max_wave: int):
@@ -140,11 +182,21 @@ class Renderer:
             self.scene = device_put_replicated(self.mesh, tree)
         self.n_devices = self.mesh.devices.size if self.mesh is not None else 1
 
-    def _wave_fn(self, k: int):
+    def _wave_fn(self, k: int, compact=None):
         """Jitted wave chunk: [P] pixels x k samples -> estimator-reduced
-        [P, 3] + ray count. One compile per distinct wave size."""
-        if k not in self._wave_fns:
+        [P, 3] + ray count + per-depth live counts. One compile per
+        distinct (wave size, compaction override). `compact`: None = use
+        cfg as-is; "off" = force uncompacted; (split, factor) = explicit
+        staged compaction (the per-wave autotune's measured choice)."""
+        key = (k, compact)
+        if key not in self._wave_fns:
             meta, cam, sampler, cfg = (self.meta, self.cam, self.sampler, self.cfg)
+            if compact == "off":
+                cfg = dataclasses.replace(cfg, compact_depth=None)
+            elif isinstance(compact, tuple):
+                cfg = dataclasses.replace(
+                    cfg, compact_depth=compact[0], compact_factor=compact[1]
+                )
 
             # `scene` is a jit ARGUMENT, not a closure constant: embedding a
             # multi-MB scene as constants bloats compile time enormously.
@@ -156,30 +208,30 @@ class Renderer:
                     jnp.tile(jnp.arange(k, dtype=jnp.uint32), (p,))
                     + sample_base.astype(jnp.uint32)
                 )
-                radiance, rays = render_wave(
-                    scene, meta, cam, sampler, cfg, lane_px, lane_py, sidx
+                radiance, rays, live = render_wave(
+                    scene, meta, cam, sampler, cfg, lane_px, lane_py, sidx,
+                    return_live=True,
                 )
                 samples = radiance.reshape(p, k, 3)
                 est = estimate(samples, cfg.estimator, cfg.estimator_buckets)
-                return est, rays
+                return est, rays, live
 
             if self.mesh is None:
-                self._wave_fns[k] = jax.jit(fn)
+                self._wave_fns[key] = jax.jit(fn)
             else:
                 from yart_tpu.parallel.sharding import replicate, shard_lanes
 
                 lanes = shard_lanes(self.mesh)
                 rep = replicate(self.mesh)
                 # Pixel chunks shard across the mesh; the estimator image
-                # comes back sharded and the ray counter is a psum XLA
-                # inserts for the replicated scalar output.
-                self._wave_fns[k] = jax.jit(
+                # comes back sharded and the ray counter + live counts are
+                # psums XLA inserts for the replicated outputs.
+                self._wave_fns[key] = jax.jit(
                     fn,
                     in_shardings=(rep, lanes, lanes, rep),
-                    out_shardings=(rep, rep),
+                    out_shardings=(rep, rep, rep),
                 )
-            return self._wave_fns[k]
-        return self._wave_fns[k]
+        return self._wave_fns[key]
 
     def render(
         self,
@@ -254,13 +306,30 @@ class Renderer:
         if max_waves is not None:
             remaining_plan = remaining_plan[:max_waves]
         aborted = False
+        # Per-wave compaction autotune: the first rendered wave measures
+        # per-depth live-lane counts; choose_compaction() then replaces
+        # the static has_env guess for every later wave. Only active for
+        # compact_depth="auto" (explicit settings are respected verbatim);
+        # persists across render() calls so compiled fns are reused.
+        autotune = self.cfg.compact_depth == "auto"
+        auto_static = (2, self.cfg.compact_factor) if self.meta.has_env else None
         for wave_i, k in enumerate(remaining_plan):
             if should_abort is not None and should_abort():
                 # Wave-granular cancellation (the reference polls an abort
                 # flag per tile, tile-renderer.hpp:182-185).
                 break
-            fn = self._wave_fn(k)
+            override = getattr(self, "_compact_override", None)
+            fn = self._wave_fn(k, override)
+            if override is not None:
+                effective = None if override == "off" else override
+            elif autotune:
+                effective = auto_static
+            elif self.cfg.compact_depth:
+                effective = (self.cfg.compact_depth, self.cfg.compact_factor)
+            else:
+                effective = None
             chunk = chunk_for(k)
+            wave_live = np.zeros((cfg.max_depth,), np.float64)
             # Host-side wave accumulator: wave results come back replicated
             # over the mesh (XLA all_gathers — the only display-path
             # collective, SURVEY.md §2.6), so numpy assembly works on every
@@ -285,9 +354,10 @@ class Renderer:
 
             def drain_one():
                 nonlocal total_rays, lanes_done
-                ci, start, end, est, rays = inflight.pop(0)
+                ci, start, end, est, rays, live = inflight.pop(0)
                 wave_img[start:end] = np.asarray(est)[: end - start]
                 total_rays += float(rays)
+                wave_live[:] += np.asarray(live)
                 lanes_done = end
                 if on_chunk is not None:
                     on_chunk(
@@ -326,8 +396,8 @@ class Renderer:
                     # local mesh and a multi-process (multi-host) one.
                     px_c, py_c = device_put_lanes(self.mesh, px_c, py_c)
                     base = jax.device_put(base, replicate(self.mesh))
-                est, rays = fn(self.scene, px_c, py_c, base)
-                inflight.append((ci, start, end, est, rays))
+                est, rays, live = fn(self.scene, px_c, py_c, base)
+                inflight.append((ci, start, end, est, rays, live))
                 if len(inflight) >= keep:
                     drain_one()
             while inflight:
@@ -335,6 +405,19 @@ class Renderer:
             if aborted:
                 break
             wave_img = jnp.asarray(wave_img)
+
+            if autotune and not getattr(self, "_compact_decided", False):
+                # Decide from the first wave's measured retirement curve;
+                # only a choice DIFFERENT from the static guess costs a
+                # re-jit (the next wave size compiles fresh anyway).
+                choice = choose_compaction(
+                    wave_live, n_pix * k, cfg.max_depth
+                )
+                self._compact_decided = True
+                if choice != auto_static:
+                    self._compact_override = (
+                        choice if choice is not None else "off"
+                    )
 
             # Weighted running merge (tile-renderer.hpp:220-232).
             w_cur = samples_taken / (samples_taken + k)
@@ -371,6 +454,8 @@ class Renderer:
                         total_samples=cfg.samples,
                         rays=total_rays,
                         time=time.time() - t0,
+                        compact=effective,
+                        live=wave_live.copy(),
                     ),
                     preview,
                 )

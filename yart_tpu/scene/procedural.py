@@ -79,6 +79,40 @@ def cornell_box(
     return b
 
 
+def windowed_interior(window_half: float = 0.25) -> SceneBuilder:
+    """Cornell-like closed room lit ONLY through a small window onto an
+    env light — Sponza's actual topology (env-lit but mostly enclosed).
+    The single-bit has_env compaction heuristic guesses "compact" for
+    this scene class and loses (few lanes escape within 2 bounces); the
+    per-wave autotune (renderer.choose_compaction) must measure its way
+    to the right answer. The back wall (z=-1) has a centered square hole
+    of half-size `window_half` built from 4 border quads."""
+    b = SceneBuilder()
+    white = b.add_material(base_color=(0.73, 0.73, 0.73, 1.0), roughness=1.0)
+    s, w = 1.0, float(window_half)
+    cy = 1.0  # window center height
+    quads = [
+        # floor / ceiling / left / right (full)
+        _quad([-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]),
+        _quad([-s, 2, s], [s, 2, s], [s, 2, -s], [-s, 2, -s]),
+        _quad([-s, 0, s], [-s, 2, s], [-s, 2, -s], [-s, 0, -s]),
+        _quad([s, 0, -s], [s, 2, -s], [s, 2, s], [s, 0, s]),
+        # front wall behind the camera (z=+1) closes the room
+        _quad([s, 0, s], [s, 2, s], [-s, 2, s], [-s, 0, s]),
+        # back wall borders around the window hole
+        _quad([-s, 0, -s], [-s, cy - w, -s], [s, cy - w, -s], [s, 0, -s]),
+        _quad([-s, cy + w, -s], [-s, 2, -s], [s, 2, -s], [s, cy + w, -s]),
+        _quad([-s, cy - w, -s], [-s, cy + w, -s], [-w, cy + w, -s],
+              [-w, cy - w, -s]),
+        _quad([w, cy - w, -s], [w, cy + w, -s], [s, cy + w, -s],
+              [s, cy - w, -s]),
+    ]
+    for verts, idx in quads:
+        b.add_mesh(verts, idx, white)
+    b.set_env(np.full((8, 8, 3), 2.0, np.float32))
+    return b
+
+
 def box_mesh(base_center, half_extents, rot_y: float = 0.0):
     """Axis-aligned box sitting on y=base_center[1], optionally rotated
     about +y. Returns (verts [24, 3], idx [12, 3])."""
