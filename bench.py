@@ -73,14 +73,7 @@ def _fwdbwd_metric(results, key, scene, meta, cam, side_d=128, spp_d=4,
     from yart_tpu.ops.qmc import make_sampler
     from yart_tpu.render.integrator import render_wave
 
-    cfg_d = RenderConfig(
-        samples=spp_d, max_depth=max_depth,
-        rr_start_depth=2 if rr else 99,
-        compact_depth=compact[0] if compact else "auto",
-        compact_factor=compact[1] if compact else 4,
-    )
-    sampler_d = make_sampler(cfg_d.sampler, cfg_d.samples,
-                             (side_d, side_d), cfg_d.seed)
+    sampler_d = make_sampler("zsobol", spp_d, (side_d, side_d), 0)
     yy, xx = np.meshgrid(np.arange(side_d), np.arange(side_d),
                          indexing="ij")
     px = jnp.asarray(np.repeat(xx.reshape(-1), spp_d), jnp.int32)
@@ -93,38 +86,63 @@ def _fwdbwd_metric(results, key, scene, meta, cam, side_d=128, spp_d=4,
         for r in range(1 + reps)
     ]
 
-    def loss(base_color, scene, px, py, sidx):
-        s = scene._replace(
-            materials=scene.materials._replace(base_color=base_color)
-        )
-        radiance, rays = render_wave(
-            s, meta, cam, sampler_d, cfg_d, px, py, sidx,
-            differentiable=True,
-        )
-        return jnp.mean(radiance), rays
+    def run(cfg_d):
+        def loss(base_color, scene, px, py, sidx):
+            s = scene._replace(
+                materials=scene.materials._replace(base_color=base_color)
+            )
+            radiance, rays = render_wave(
+                s, meta, cam, sampler_d, cfg_d, px, py, sidx,
+                differentiable=True,
+            )
+            return jnp.mean(radiance), rays
 
-    vg = jax.value_and_grad(loss, has_aux=True)
+        vg = jax.value_and_grad(loss, has_aux=True)
 
-    @jax.jit
-    def gk(bc, scene, px, py, sidx):
-        total = jnp.zeros((), jnp.float32)
-        g = None
-        for _ in range(chain):
-            bci = bc if g is None else bc + g * 1e-30
-            (val, rays), g = vg(bci, scene, px, py, sidx)
-            total = total + rays.astype(jnp.float32)
-        return g, total
+        @jax.jit
+        def gk(bc, scene, px, py, sidx):
+            total = jnp.zeros((), jnp.float32)
+            g = None
+            for _ in range(chain):
+                bci = bc if g is None else bc + g * 1e-30
+                (val, rays), g = vg(bci, scene, px, py, sidx)
+                total = total + rays.astype(jnp.float32)
+            return g, total
 
-    g, total = gk(scene.materials.base_color, scene, px, py, sidxs[0])
-    float(jnp.sum(g.reshape(-1)[:8]))
-    t0 = time.time()
-    rays_total = 0.0
-    for r in range(reps):
-        g, total = gk(scene.materials.base_color, scene, px, py,
-                      sidxs[1 + r])
+        g, total = gk(scene.materials.base_color, scene, px, py, sidxs[0])
         float(jnp.sum(g.reshape(-1)[:8]))
-        rays_total += float(total)
-    results[key] = rays_total / (time.time() - t0) / 1e6
+        t0 = time.time()
+        rays_total = 0.0
+        for r in range(reps):
+            g, total = gk(scene.materials.base_color, scene, px, py,
+                          sidxs[1 + r])
+            float(jnp.sum(g.reshape(-1)[:8]))
+            rays_total += float(total)
+        return rays_total / (time.time() - t0) / 1e6
+
+    cfgs = [RenderConfig(
+        samples=spp_d, max_depth=max_depth,
+        rr_start_depth=2 if rr else 99,
+        compact_depth=compact[0] if compact else "auto",
+        compact_factor=compact[1] if compact else 4,
+    )]
+    if compact or rr:
+        # Defensive fallback: jax 0.9.0 can drop hoisted constants when
+        # re-invoking executables of the two-width compacted diff scan
+        # (tools/diag_bufrepro.py; observed on XLA:CPU, untested on this
+        # axon runtime). An honest slower number beats a lost row.
+        cfgs.append(RenderConfig(samples=spp_d, max_depth=max_depth,
+                                 rr_start_depth=2 if rr else 99,
+                                 compact_depth=None))
+    for i, cfg_d in enumerate(cfgs):
+        try:
+            results[key] = run(cfg_d)
+            if i:
+                results[key + "_uncompacted_fallback"] = 1.0
+            return
+        except ValueError as e:
+            if "buffers" not in str(e) or cfg_d is cfgs[-1]:
+                raise
 
 
 def bench_bigscene(results):
@@ -255,48 +273,60 @@ def bench_cornell(results):
     results["cornell_mis_1call"] = rays_total / (time.time() - t0) / 1e6
 
     # ---- forward+backward: grad of mean image w.r.t. the material table ----
-    import jax.tree_util as jtu
+    def run_fwdbwd(cfg_d):
+        def loss(base_color, scene, px, py, sidx):
+            s = scene._replace(
+                materials=scene.materials._replace(base_color=base_color)
+            )
+            radiance, rays = render_wave(
+                s, meta, cam, sampler, cfg_d, px, py, sidx,
+                differentiable=True,
+            )
+            return jnp.mean(radiance), rays
+
+        vg = jax.value_and_grad(loss, has_aux=True)
+
+        def chained_g(k):
+            @jax.jit
+            def f(bc, scene, px, py, sidx):
+                total = jnp.zeros((), jnp.float32)
+                g = None
+                for _ in range(k):
+                    bci = bc if g is None else bc + g * 1e-30
+                    (val, rays), g = vg(bci, scene, px, py, sidx)
+                    total = total + rays.astype(jnp.float32)
+                return g, total
+            return f
+
+        g1, gk = chained_g(1), chained_g(3)
+        for f in (g1, gk):
+            g, total = f(scene.materials.base_color, scene, px, py,
+                         sidxs[0])
+            float(jnp.sum(g.reshape(-1)[:8]))
+        t0 = time.time()
+        rays_total = 0.0
+        for r in range(reps):
+            g, total = gk(scene.materials.base_color, scene, px, py,
+                          sidxs[1 + r])
+            float(jnp.sum(g.reshape(-1)[:8]))
+            rays_total += float(total)
+        return rays_total / (time.time() - t0) / 1e6
 
     # compact (4, 2): measured RR-off retirement (cornell live@4 = 0.43,
     # tools/diag_livefrac.py) — the diff scan's bounces 4-5 run at half
-    # width, no overflow into the gated drain.
-    cfg_d = RenderConfig(samples=spp, max_depth=6, rr_start_depth=99,
-                         compact_depth=4, compact_factor=2)
-
-    def loss(base_color, scene, px, py, sidx):
-        s = scene._replace(
-            materials=scene.materials._replace(base_color=base_color)
-        )
-        radiance, rays = render_wave(
-            s, meta, cam, sampler, cfg_d, px, py, sidx, differentiable=True
-        )
-        return jnp.mean(radiance), rays
-
-    vg = jax.value_and_grad(loss, has_aux=True)
-
-    def chained_g(k):
-        @jax.jit
-        def f(bc, scene, px, py, sidx):
-            total = jnp.zeros((), jnp.float32)
-            g = None
-            for _ in range(k):
-                bci = bc if g is None else bc + g * 1e-30
-                (val, rays), g = vg(bci, scene, px, py, sidx)
-                total = total + rays.astype(jnp.float32)
-            return g, total
-        return f
-
-    g1, gk = chained_g(1), chained_g(3)
-    for f in (g1, gk):
-        g, total = f(scene.materials.base_color, scene, px, py, sidxs[0])
-        float(jnp.sum(g.reshape(-1)[:8]))
-    t0 = time.time()
-    rays_total = 0.0
-    for r in range(reps):
-        g, total = gk(scene.materials.base_color, scene, px, py, sidxs[1 + r])
-        float(jnp.sum(g.reshape(-1)[:8]))
-        rays_total += float(total)
-    results["cornell_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
+    # width, no overflow into the gated drain. Fallback uncompacted on
+    # the jax-0.9.0 re-invocation buffer bug (tools/diag_bufrepro.py).
+    try:
+        results["cornell_fwdbwd"] = run_fwdbwd(RenderConfig(
+            samples=spp, max_depth=6, rr_start_depth=99,
+            compact_depth=4, compact_factor=2))
+    except ValueError as e:
+        if "buffers" not in str(e):
+            raise
+        results["cornell_fwdbwd"] = run_fwdbwd(RenderConfig(
+            samples=spp, max_depth=6, rr_start_depth=99,
+            compact_depth=None))
+        results["cornell_fwdbwd_uncompacted_fallback"] = 1.0
 
 
 def bench_atrium(results):
@@ -368,10 +398,7 @@ def bench_atrium(results):
     side_d, spp_d = 128, 4
     # compact (4, 2): measured RR-off retirement (atrium live@4 = 0.42,
     # tools/diag_livefrac.py).
-    cfg_d = RenderConfig(samples=spp_d, max_depth=6, rr_start_depth=99,
-                         compact_depth=4, compact_factor=2)
-    sampler_d = make_sampler(cfg_d.sampler, cfg_d.samples, (side_d, side_d),
-                             cfg_d.seed)
+    sampler_d = make_sampler("zsobol", spp_d, (side_d, side_d), 0)
     yy, xx = np.meshgrid(np.arange(side_d), np.arange(side_d),
                          indexing="ij")
     px_d = jnp.asarray(np.repeat(xx.reshape(-1), spp_d), jnp.int32)
@@ -384,42 +411,57 @@ def bench_atrium(results):
         for r in range(4)
     ]
 
-    def loss(base_color, scene, px, py, sidx):
-        s = scene._replace(
-            materials=scene.materials._replace(base_color=base_color)
-        )
-        radiance, rays = render_wave(
-            s, meta, cam, sampler_d, cfg_d, px, py, sidx,
-            differentiable=True,
-        )
-        return jnp.mean(radiance), rays
+    def run_fwdbwd(cfg_d):
+        def loss(base_color, scene, px, py, sidx):
+            s = scene._replace(
+                materials=scene.materials._replace(base_color=base_color)
+            )
+            radiance, rays = render_wave(
+                s, meta, cam, sampler_d, cfg_d, px, py, sidx,
+                differentiable=True,
+            )
+            return jnp.mean(radiance), rays
 
-    vg = jax.value_and_grad(loss, has_aux=True)
+        vg = jax.value_and_grad(loss, has_aux=True)
 
-    def chained_g(k):
-        @jax.jit
-        def f(bc, scene, px, py, sidx):
-            total = jnp.zeros((), jnp.float32)
-            g = None
-            for _ in range(k):
-                bci = bc if g is None else bc + g * 1e-30
-                (val, rays), g = vg(bci, scene, px, py, sidx)
-                total = total + rays.astype(jnp.float32)
-            return g, total
-        return f
+        def chained_g(k):
+            @jax.jit
+            def f(bc, scene, px, py, sidx):
+                total = jnp.zeros((), jnp.float32)
+                g = None
+                for _ in range(k):
+                    bci = bc if g is None else bc + g * 1e-30
+                    (val, rays), g = vg(bci, scene, px, py, sidx)
+                    total = total + rays.astype(jnp.float32)
+                return g, total
+            return f
 
-    gk = chained_g(3)
-    g, total = gk(scene.materials.base_color, scene, px_d, py_d, sidxs_d[0])
-    float(jnp.sum(g.reshape(-1)[:8]))
-    t0 = time.time()
-    rays_total = 0.0
-    for r in range(reps):
-        g, total = gk(
-            scene.materials.base_color, scene, px_d, py_d, sidxs_d[1 + r]
-        )
+        gk = chained_g(3)
+        g, total = gk(scene.materials.base_color, scene, px_d, py_d,
+                      sidxs_d[0])
         float(jnp.sum(g.reshape(-1)[:8]))
-        rays_total += float(total)
-    results["atrium_fwdbwd"] = rays_total / (time.time() - t0) / 1e6
+        t0 = time.time()
+        rays_total = 0.0
+        for r in range(reps):
+            g, total = gk(
+                scene.materials.base_color, scene, px_d, py_d,
+                sidxs_d[1 + r]
+            )
+            float(jnp.sum(g.reshape(-1)[:8]))
+            rays_total += float(total)
+        return rays_total / (time.time() - t0) / 1e6
+
+    try:
+        results["atrium_fwdbwd"] = run_fwdbwd(RenderConfig(
+            samples=spp_d, max_depth=6, rr_start_depth=99,
+            compact_depth=4, compact_factor=2))
+    except ValueError as e:
+        if "buffers" not in str(e):
+            raise
+        results["atrium_fwdbwd"] = run_fwdbwd(RenderConfig(
+            samples=spp_d, max_depth=6, rr_start_depth=99,
+            compact_depth=None))
+        results["atrium_fwdbwd_uncompacted_fallback"] = 1.0
 
     # Production-shape fwd+bwd (round 5): roulette ON (detached-q RR),
     # max_depth=8 — the same workload as atrium_wave. With RR the live

@@ -538,12 +538,10 @@ def test_diff_compact_fd_check_env_scene():
     the uncompacted one): d(mean)/d(floor red albedo).
 
     All evaluations go through ONE jitted value_and_grad (the FD values
-    are its value outputs): re-invoking a plain-jit forward of the
-    compacted diff scan trips a jax-0.9.0 XLA:CPU bug ("Execution
-    supplied N buffers but compiled program expected M") — first call
-    fine, second call drops the hoisted closure constants. The grad
-    executable (the path the benches and production use) re-invokes
-    fine; see tools/diag_bufrepro.py for the recorded repro."""
+    are its value outputs) — one trace, one executable. (This also kept
+    the test alive while the round-5 tracer-leak bug was live: lazily
+    imported module-level jnp constants leaked tracers across traces —
+    root-caused and fixed, tools/diag_bufrepro.py.)"""
     scene, meta, cam, sargs, px, py, sidx = _env_setup()
     cfg = RenderConfig(samples=2, max_depth=4, rr_start_depth=99,
                        compact_depth=1, compact_factor=4)

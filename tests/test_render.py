@@ -434,3 +434,69 @@ def test_autotune_closed_scene_stays_off(cornell_scene):
     cfg_off = dataclasses.replace(cfg, compact_depth=None)
     img_off = Renderer(scene, meta, cornell_cam(16), cfg_off).render().hdr
     np.testing.assert_array_equal(np.asarray(img), np.asarray(img_off))
+
+
+# ---- round 5: specular-chain path regularization ------------------------
+
+def test_regularize_specular_kills_chain_caustics():
+    """camera -> smooth glass -> smooth chrome -> bright light is a pure
+    specular chain: accumulated-roughness regularization (the reference's
+    only lever, mis-integrator.cpp:90-92) never fires on it, so such
+    paths produce caustic fireflies. cfg.regularize_specular=1 roughens
+    the SECOND specular vertex: the spike tail must drop at equal spp
+    (same seeds) while the image mean stays in the same energy range."""
+    import dataclasses
+
+    import numpy as _np
+
+    from yart_tpu.scene.builder import SceneBuilder
+    from yart_tpu.scene.procedural import _quad, uv_sphere
+
+    b = SceneBuilder()
+    floor = b.add_material(base_color=(0.3, 0.3, 0.3, 1.0), roughness=1.0)
+    chrome = b.add_material(base_color=(0.95, 0.95, 0.95, 1.0),
+                            metallic=1.0, roughness=0.0)
+    glass = b.add_material(base_color=(1.0, 1.0, 1.0, 1.0),
+                           transmission=1.0, roughness=0.0, ior=1.5,
+                           thin=False)
+    light = b.add_material(emission=(1.0, 1.0, 1.0),
+                           emission_strength=400.0)
+    fv, fi = _quad([-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6])
+    b.add_mesh(fv, fi, floor)
+    v, n, i = uv_sphere((0.0, 0.8, 0.0), 0.8, 16, 32)
+    b.add_mesh(v, i, chrome, normals=n)
+    # Glass pane between camera and sphere.
+    gv, gi = _quad([-2, 0.0, 2.0], [2, 0.0, 2.0], [2, 2.5, 2.0],
+                   [-2, 2.5, 2.0])
+    b.add_mesh(gv, gi, glass)
+    # Small bright light off to the side (seen via the chrome).
+    lv, li_ = _quad([2.5, 2.4, 0.4], [2.9, 2.4, 0.4], [2.9, 2.8, 0.4],
+                    [2.5, 2.8, 0.4])
+    b.add_mesh(lv, li_, light)
+    scene, meta = b.compile()
+
+    cam = CameraConfig(image_size=(24, 24), focal_length=30.0,
+                       position=(0.0, 1.1, 4.2), forward=(0, -0.1, -1))
+    base = RenderConfig(samples=16, max_depth=5, tonemap="none",
+                        estimator="mean", first_wave_samples=16,
+                        max_wave_samples=16)
+    img_off = Renderer(scene, meta, cam, base).render().hdr
+    cfg_reg = dataclasses.replace(base, regularize_specular=1)
+    img_reg = Renderer(scene, meta, cam, cfg_reg).render().hdr
+
+    lum = lambda im: _np.asarray(im) @ _np.asarray(
+        [0.2126, 0.7152, 0.0722], _np.float32)
+    l_off, l_reg = lum(img_off), lum(img_reg)
+    assert _np.isfinite(l_reg).all()
+    # CPU test scale (24^2 x 16spp) cannot reproduce production firefly
+    # statistics (measured: this scene's tail is clean at this spp —
+    # pure smooth chains are deterministic and the near-specular spike
+    # class needs flagship scene complexity; the quality evidence is the
+    # equal-spp roadster render comparison, BASELINE.md round 5). What
+    # IS checkable here: the mechanism fires (the images differ — the
+    # second specular vertex sampled a roughened lobe), the brightest
+    # chain-lit pixel does not get brighter, and energy is conserved to
+    # Monte-Carlo noise.
+    assert (l_reg != l_off).any()
+    assert l_reg.max() <= l_off.max() * 1.001, (l_off.max(), l_reg.max())
+    assert abs(l_reg.mean() - l_off.mean()) < 0.25 * l_off.mean()

@@ -25,9 +25,19 @@ Findings from the round-5 bisect (all on jax 0.9.0, CPU backend):
   jax_use_simplified_jaxpr_constants=True changes the counts
   (44 vs 50) but still fails.
 
-Workaround in the tree: tests evaluate compacted-diff forwards through
-value_and_grad. Run this script to check whether a jax upgrade fixed
-the underlying bug.
+ROOT CAUSE (found round 5, fixed): OUR OWN tracer leak, not jax.
+render/bintrace.py and render/blocktrace.py defined module-level
+constants as `_BIG = jnp.float32(3.0e38)` — and those modules are
+imported LAZILY inside the intersect() dispatch, i.e. INSIDE an ambient
+jit trace for big scenes. A jnp constant constructed under a trace is a
+Tracer; stored as a module global it outlives its trace and is captured
+as a (foreign-tracer!) constant by every LATER trace, corrupting the
+executable's constant table — hence first-call-works / re-invocation
+fails, and only for scenes big enough to import bintrace. Fixed by
+making every module-level constant numpy (np.float32 / np.asarray) in
+bintrace, blocktrace, intersect, pallas_intersect, estimator, tonemap,
+integrator. This script is kept as the regression canary: it must print
+BUG FIXED.
 """
 
 from __future__ import annotations

@@ -58,6 +58,12 @@ def parse_args(argv=None):
                    help="first progressive wave sample count (reference "
                         "default 64; smaller = faster first preview)")
     p.add_argument("--max-wave", type=int, default=128)
+    p.add_argument("--regularize-specular", type=int, default=None,
+                   metavar="K",
+                   help="roughen lobes from the K-th specular vertex on "
+                        "(specular-chain path regularization; kills "
+                        "glass/chrome caustic fireflies without clamping; "
+                        "K=1 roughens the second specular vertex)")
     p.add_argument("--clamp", type=float, default=None,
                    help="per-sample radiance clamp (pre-exposure), firefly "
                         "suppression; biased, off by default")
@@ -247,6 +253,7 @@ def main(argv=None) -> int:
         lane_chunk=args.chunk_pixels,
         shade_kernel=args.shade_kernel,
         clamp=args.clamp,
+        regularize_specular=args.regularize_specular,
     )
 
     if not args.quiet:

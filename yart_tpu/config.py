@@ -46,6 +46,16 @@ class RenderConfig:
     light_sampler: str = "power"  # "power" | "uniform" (light-sampler.cpp)
     estimator_buckets: int = 15
     regularize_threshold: float = 0.5
+    # Specular-chain path regularization (round 5; no reference analog —
+    # the reference regularizes on ACCUMULATED roughness only,
+    # mis-integrator.cpp:90-92, which a pure specular chain never
+    # triggers: camera -> glass -> chrome caustics stay unregularized
+    # and speckle the roadster canopy). k = lanes with >= k prior
+    # specular scatters sample with roughen()ed lobes; k=1 roughens the
+    # SECOND specular vertex onward (the standard path-regularization
+    # move). None (default) = reference-parity behavior. Biased the way
+    # all path regularization is; --regularize-specular on the CLI.
+    regularize_specular: Optional[int] = None
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Reference defaults (DEFAULT_FIRST_WAVE_SAMPLES/MAX, tile-renderer.hpp:13-14);
     # GMoN bucketing needs >= ~15 samples per wave to engage.

@@ -25,13 +25,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 SUBLANES = 16  # block = SUBLANES x LANE lanes
 EPS_DET = 1e-12
-F32_MAX = jnp.float32(3.0e38)
+F32_MAX = np.float32(3.0e38)  # numpy: safe if imported inside a trace
 
 
 def _kernel(n_tris: int, t_min: float, tri_ref, ox, oy, oz, dx, dy, dz, tmax,

@@ -401,6 +401,11 @@ def candidates(inp, gates):
     wo = world_to_local(vneg(d), fx, fy, fz)
 
     regularized = inp["acc_rough"] > inp["reg_threshold"]
+    if "force_reg" in inp:
+        # Specular-chain regularization (cfg.regularize_specular): the
+        # integrator pre-computes the per-lane gate from its spec_depth
+        # counter (XLA shade mode only; render/integrator.py).
+        regularized = regularized | inp["force_reg"]
     r_s = jnp.where(regularized, roughen(rough), rough)
 
     wo_r = rot_z(wo, -inp["aniso_rotation"]) if use_aniso else wo

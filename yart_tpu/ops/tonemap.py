@@ -15,30 +15,31 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Input/output matrices (tonemapping.hpp:57-61,84-88), stored so that
 # `x @ M.T` implements the reference's `M * val`. Rows here sum to ~1 — the
 # grey axis is preserved, which pins the orientation (the constants are
 # column-major in the GLSL-style listing).
-_AGX_MAT = jnp.asarray(
+_AGX_MAT = np.asarray(
     [
         [0.842479062253094, 0.0784335999999992, 0.0792237451477643],
         [0.0423282422610123, 0.878468636469772, 0.0791661274605434],
         [0.0423756549057051, 0.0784336, 0.879142973793104],
     ],
-    jnp.float32,
+    np.float32,
 )
-_AGX_MAT_INV = jnp.asarray(
+_AGX_MAT_INV = np.asarray(
     [
         [1.19687900512017, -0.0980208811401368, -0.0990297440797205],
         [-0.0528968517574562, 1.15190312990417, -0.0989611768448433],
         [-0.0529716355144438, -0.0980434501171241, 1.15107367264116],
     ],
-    jnp.float32,
+    np.float32,
 )
 _MIN_EV = -12.47393
 _MAX_EV = 4.026069
-_LW = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+_LW = np.asarray([0.2126, 0.7152, 0.0722], np.float32)  # numpy: import-context safe
 
 
 class Look(NamedTuple):

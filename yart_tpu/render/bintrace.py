@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from yart_tpu.kernels.pallas_cluster import (
@@ -45,8 +46,13 @@ from yart_tpu.kernels.pallas_cluster import (
 )
 from yart_tpu.ops.gatherless import select_along
 
-_BIG = jnp.float32(3.0e38)
-_NOID = jnp.int32(1 << 30)
+# numpy, NOT jnp: this module is lazily imported INSIDE jit traces
+# (render/intersect.py dispatch), and a module-level jnp constant created
+# under an ambient trace is a TRACER that leaks into every later trace —
+# the round-5 "Execution supplied N buffers but compiled program expected
+# M" corruption (tools/diag_bufrepro.py).
+_BIG = np.float32(3.0e38)
+_NOID = np.int32(1 << 30)
 
 # Batcher odd-even mergesort network for 8 elements (19 compare-exchanges).
 _SORT8 = [

@@ -31,6 +31,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from yart_tpu.kernels.pallas_blocktrace import (
@@ -43,7 +44,8 @@ from yart_tpu.kernels.pallas_blocktrace import (
 from yart_tpu.kernels.pallas_cluster import F32_MAX
 from yart_tpu.ops.qmc import mix32, u32_to_unit_float
 
-_BIG = jnp.float32(3.0e38)
+# numpy, NOT jnp — lazily imported inside jit traces; see bintrace._BIG.
+_BIG = np.float32(3.0e38)
 _WKEY0 = -(1 << 31)  # initial window: everything eligible
 
 MAX_CLUSTERS = 1 << ID_BITS  # bigger scenes use render/bintrace.py

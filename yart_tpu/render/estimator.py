@@ -18,8 +18,9 @@ NaN samples are discarded everywhere (estimator.hpp:35,60,101,155).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_LW = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+_LW = np.asarray([0.2126, 0.7152, 0.0722], np.float32)  # numpy: import-context safe
 
 
 def n_buckets(k: int, m_max: int = 15) -> int:

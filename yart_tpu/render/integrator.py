@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from yart_tpu.config import RenderConfig
@@ -44,7 +45,7 @@ from yart_tpu.render.intersect import intersect
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
 
-INF = jnp.float32(1e30)
+INF = np.float32(1e30)  # numpy: safe under any import context
 RAY_EPS = 1e-3  # tMin (mis-integrator.cpp:26)
 
 
@@ -235,6 +236,14 @@ def _shade_kernel_body(
         volume_density=mat.volume_density,
         pdf_area=pdf_area, sel_p=sel_p,
     )
+    if cfg.regularize_specular is not None:
+        if cfg.shade_kernel == "pallas":
+            raise NotImplementedError(
+                "regularize_specular is wired into the XLA shade paths "
+                "only; the Pallas shade kernel's packed-row layout does "
+                "not carry the force_reg lane input"
+            )
+        inp["force_reg"] = st.spec_depth >= cfg.regularize_specular
     if ls is not None:
         inp.update(
             ls_wi=c3(ls.wi), ls_Li=c3(ls.Li), ls_pdf=ls.pdf,
@@ -294,6 +303,13 @@ def _shade_kernel_body(
         depth=depth + 1,
         rays=rays,
         live=st.live,
+        # Lanes that continue took this bounce's scatter; the sampled
+        # roughness is the acc_rough delta (retired lanes never sample
+        # again, so their miscount is irrelevant).
+        spec_depth=st.spec_depth + (
+            out["active"]
+            & ((out["acc_rough"] - st.acc_rough) < 0.3)
+        ).astype(jnp.int32),
     )
 
 
@@ -381,6 +397,11 @@ class _State(NamedTuple):
     live: jnp.ndarray  # [max_depth] f32: active-lane count entering bounce k
     # (one 31-float dynamic_update_slice per bounce — free next to a bounce;
     # feeds the per-wave compaction autotune and live-fraction diagnostics)
+    spec_depth: jnp.ndarray  # [N] i32: NEAR-specular scatters so far on
+    # the path (sampled roughness < 0.3, roughen()'s ceiling — smooth
+    # delta lobes count too); drives cfg.regularize_specular. Pure smooth
+    # chains are deterministic (no variance); the caustic-speckle class
+    # is near-specular chains, so the counter must include them.
 
 
 def li(
@@ -434,6 +455,7 @@ def li(
         depth=jnp.asarray(0, jnp.int32),
         rays=jnp.asarray(0.0, jnp.float32),
         live=jnp.zeros((cfg.max_depth,), jnp.float32),
+        spec_depth=jnp.zeros((n,), jnp.int32),
     )
 
     def cond(st: _State):
@@ -518,6 +540,14 @@ def li(
             uc2 = sampler.get1d(lane_state, dim0 + 3)
 
             regularized = st.acc_rough > cfg.regularize_threshold
+            if cfg.regularize_specular is not None:
+                # Specular-CHAIN regularization (config.py knob): pure
+                # specular paths never accumulate roughness, so caustic
+                # chains (glass -> chrome -> light) stayed unregularized
+                # and speckle; roughen from the k-th specular vertex on.
+                regularized = regularized | (
+                    st.spec_depth >= cfg.regularize_specular
+                )
             fx, fy, fz = frame_from_normal_tangent(sh.n, sh.tg)
             wo_local = world_to_local(-st.d, fx, fy, fz)
             smp = B.bsdf_sample(tables, mat, wo_local, u, uc, uc2, regularized, meta=meta)
@@ -668,6 +698,12 @@ def li(
                 depth=depth_new,
                 rays=rays,
                 live=st.live,
+                spec_depth=jnp.where(
+                    active,
+                    st.spec_depth
+                    + (smp.roughness < 0.3).astype(jnp.int32),
+                    st.spec_depth,
+                ),
             )
 
         return body
@@ -781,6 +817,7 @@ def li(
                     acc_rough=take(st.acc_rough),
                     last_pdf=take(st.last_pdf), last_p=take(st.last_p),
                     depth=st.depth, rays=st.rays, live=st.live,
+                    spec_depth=take(st.spec_depth),
                 )
                 body_c = make_body(jax.tree_util.tree_map(take, lane_state))
                 st_c = run_scan(st_c, body_c, cfg.max_depth - split)
@@ -831,6 +868,7 @@ def li(
                 specular=take(st.specular), acc_rough=take(st.acc_rough),
                 last_pdf=take(st.last_pdf), last_p=take(st.last_p),
                 depth=st.depth, rays=st.rays, live=st.live,
+                spec_depth=take(st.spec_depth),
             )
             body_c = make_body(jax.tree_util.tree_map(take, lane_state))
             st_c = lax.while_loop(cond, body_c, st_c)

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from yart_tpu.ops.gatherless import onehot_matmul, select_along
@@ -31,7 +32,7 @@ from yart_tpu.ops.qmc import mix32, u32_to_unit_float
 from yart_tpu.render.texture import sample_stack
 from yart_tpu.scene.types import CompiledScene, SceneMeta
 
-F32_MAX = jnp.float32(3.0e38)
+F32_MAX = np.float32(3.0e38)  # numpy: safe if imported inside a trace
 EPS_DET = 1e-12  # reference epsilon (math_base.hpp: epsilon = 1e-12)
 
 
