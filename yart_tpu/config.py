@@ -92,6 +92,10 @@ class RenderConfig:
     # shared component-form shade math (kernels/shade_math.py) assembled by
     # XLA — numerically equivalent, used for validation/fallback; "pallas" =
     # the fused per-bounce shade kernel (kernels/pallas_shade.py).
+    # STATUS (round 5): "pallas" is an EXPERIMENT, kept for its measured
+    # record (+4.6% cornell, -4% atrium, forward-only): the wave profile
+    # is traversal-bound, so the shade tail is not where the time is.
+    # Production and differentiable rendering use "off"/"xla".
     shade_kernel: str = "off"
     # Differentiable-mode knob: re-solve each hit's (t, u, v) from the
     # vertex positions (Moller-Trumbore as an implicit function) so

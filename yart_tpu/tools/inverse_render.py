@@ -43,17 +43,45 @@ def optimize_materials(
     steps: int = 60,
     lr: float = 0.05,
     mask=None,
+    autotune_compaction: bool = True,
 ):
     """Adam-optimize the material base-color table to match `target`
     ([N, 3] radiance lanes). `mask` ([M] bool) freezes rows where False.
     Returns InverseResult. Deterministic: the sampler is a pure function
     of (pixel, sample, dim), so the loss landscape is noise-free and the
-    only stochasticity is the fixed sample set."""
+    only stochasticity is the fixed sample set.
+
+    autotune_compaction (round 5): with cfg.compact_depth == "auto", one
+    forward probe measures per-depth live-lane counts and picks the diff
+    scan's staged-compaction (split, factor) before the optimization loop
+    compiles — the many-step loop then runs every bounce past the split
+    at reduced width (the renderer's per-wave autotune, applied to the
+    differentiable path where it pays off `steps` times)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import optax
 
     from yart_tpu.render.integrator import render_wave
+
+    if autotune_compaction and cfg.compact_depth == "auto":
+        from yart_tpu.render.renderer import choose_compaction
+
+        _, _, live = jax.jit(
+            lambda s, px, py, sidx: render_wave(
+                s, meta, cam, sampler, cfg, px, py, sidx,
+                return_live=True,
+            )
+        )(scene, px, py, sidx)
+        choice = choose_compaction(
+            np.asarray(live), px.shape[0], cfg.max_depth
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            compact_depth=choice[0] if choice else None,
+            compact_factor=choice[1] if choice else cfg.compact_factor,
+        )
 
     target = jnp.asarray(target)
     m = (
