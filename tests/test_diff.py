@@ -720,3 +720,27 @@ def test_env_grads_fd_and_compact_equality():
     g_ad = float(g0.sum())
     assert g_ad > 0.0  # brighter sky -> brighter image
     np.testing.assert_allclose(g_ad, g_fd, rtol=0.08)
+
+
+def test_diff_auto_compaction_rr_on_env_scene():
+    """The production fwd+bwd shape (atrium_fwdbwd_rr bench row): env
+    scene + roulette ON + compact_depth='auto' resolves to (2, factor)
+    in diff mode. Forward must match the primal render bit-for-bit and
+    gradients must be finite and match the explicitly-uncompacted scan."""
+    scene, meta, cam, sargs, px, py, sidx = _env_setup()
+    base = dict(samples=2, max_depth=6, rr_start_depth=2)
+    cfg_auto = RenderConfig(compact_depth="auto", compact_factor=4, **base)
+    cfg_off = RenderConfig(compact_depth=None, **base)
+    sampler = make_sampler(*sargs)
+
+    prim, _ = jax.jit(
+        lambda s: render_wave(s, meta, cam, sampler, cfg_auto, px, py,
+                              sidx)
+    )(scene)
+    rad_a, g_a = _diff_radiance_and_grad(
+        scene, meta, cam, cfg_auto, px, py, sidx, sargs)
+    rad_o, g_o = _diff_radiance_and_grad(
+        scene, meta, cam, cfg_off, px, py, sidx, sargs)
+    np.testing.assert_allclose(np.asarray(prim), rad_a, atol=2e-5)
+    assert np.isfinite(g_a).all() and np.abs(g_a).sum() > 0
+    np.testing.assert_allclose(g_a, g_o, rtol=2e-4, atol=1e-7)

@@ -49,16 +49,13 @@ CLOCK = 0.94e9
 VPU_F32 = 8 * 128 * 4 * CLOCK  # 3.85e12 f32 ops/s
 PEAK_MXU_BF16 = 197e12
 
-# Hand count of the fused t-loop's per-candidate op chain at [128, 3C]
-# (kernels/pallas_fusedtrace.py _proj + _t_only): the projection is
-# 2 x (3 mul + 2 add) = 10 ops at [128, 3C]; the validity/min chain is
-# ~1 div + 4 mul/add + 9 compare/and + 1 select + 1 min-reduce ~ 16 ops
-# at [128, C] on each of the three thirds' recombination... counted
-# conservatively as ops at full [128, 3C] width:
-#   proj 10 + t/u/v 5 + validity 9 + select/min 3 = 27 ops @ [128, 3C]
-# plus the key-extraction overhead per iteration (~6 ops @ [1, cpad],
-# negligible). One candidate = 27 * 128 * 3C element-ops.
-TLOOP_OPS_PER_CAND = 27
+# Measured jaxpr census of the fused t-loop's per-candidate chain
+# (_proj + _t_only at [128, 3x128], nested jits expanded): 21.2
+# [B,3C]-width-equivalent vector element-ops per candidate (projection
+# 10 full-width muls/adds; t/u/v + validity/min run at [B,C] thirds).
+# One candidate = 21.2 * 128 * 3C element-ops. The per-iteration key
+# extraction (~6 ops @ [1, cpad]) is negligible next to it.
+TLOOP_OPS_PER_CAND = 21.2
 
 
 def _sync(x):
