@@ -323,21 +323,27 @@ def bench_cornell(results):
             rays_total += float(total)
         return rays_total / (time.time() - t0) / 1e6
 
-    # compact (4, 2): measured RR-off retirement (cornell live@4 = 0.43,
-    # tools/diag_livefrac.py) — the diff scan's bounces 4-5 run at half
-    # width, no overflow into the gated drain. Fallback uncompacted on
-    # the jax-0.9.0 re-invocation buffer bug (tools/diag_bufrepro.py).
+    # UNCOMPACTED on purpose (round-5 measurement): the staged diff scan
+    # at this 524288-lane closed-scene shape is a measured LOSS — with
+    # the fused 3D LUT-fetch form its backward OOMs HBM (transpose-of-
+    # cond zero cotangents of [n,16,1]-shaped internals pad 128x under
+    # T(8,128)); with 2D fetch reformulations it compiles but measures
+    # 5.4 Mrays/s vs 8.3+ uncompacted (and those fetch forms cost the
+    # FORWARD 38-47%: materialized [n,16] dot operands pad 8x, while the
+    # 3D form fuses the whole trilerp — tools/diag_oomshapes.py and
+    # BASELINE.md round-5 notes). Matches the forward autotune: closed
+    # scenes retire too slowly for compaction to pay.
     try:
         results["cornell_fwdbwd"] = run_fwdbwd(RenderConfig(
             samples=spp, max_depth=6, rr_start_depth=99,
-            compact_depth=4, compact_factor=2))
+            compact_depth=None))
     except Exception as e:
         if not _fallback_worthy(e):
             raise
         results["cornell_fwdbwd"] = run_fwdbwd(RenderConfig(
             samples=spp, max_depth=6, rr_start_depth=99,
-            compact_depth=None))
-        results["cornell_fwdbwd_uncompacted_fallback"] = 1.0
+            compact_depth=None, remat="trace"))
+        results["cornell_fwdbwd_remat_trace_fallback"] = 1.0
 
 
 def bench_atrium(results):

@@ -65,15 +65,7 @@ def fetch_2d(tab, x0, x1):
 
 
 def fetch_3d(tab, x0, x1, x2):
-    """Trilinear interp of [n0, n1, n2] table.
-
-    Flattened [N, n1*n2] contraction throughout: the naive form
-    (a[N, n1, n2] * w1[N, n1, 1] * w2[N, 1, n2]) leaves 3D small-minor
-    temps whose TPU T(8,128) layouts pad 8-128x — at wavefront scale the
-    backward pass materializes multi-GB zero cotangents of those shapes
-    (the round-5 cornell fwd+bwd HBM OOM). Keeping every buffer 2D with a
-    >=128 minor dim makes padding ~1x; the weight outer product is built
-    by repeat/tile at [N, n1*n2] so it fuses into the reduce."""
+    """Trilinear interp of [n0, n1, n2] table."""
     n0, n1, n2 = tab.shape
     w0 = hat_weights(x0, n0)
     w1 = hat_weights(x1, n1)
@@ -82,9 +74,8 @@ def fetch_3d(tab, x0, x1, x2):
         w0,
         tab.reshape(n0, n1 * n2).astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )
-    w12 = jnp.repeat(w1, n2, axis=-1) * jnp.tile(w2, (1,) * (w2.ndim - 1) + (n1,))
-    return jnp.sum(a * w12, axis=-1)
+    ).reshape(x0.shape + (n1, n2))
+    return jnp.sum(a * w1[..., :, None] * w2[..., None, :], axis=(-2, -1))
 
 
 def ref_lerp_weights(x, n: int):
@@ -133,10 +124,8 @@ def fetch_3d_ref(tab, x0, x1, x2):
         w0,
         tab.reshape(n0, n1 * n2).astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )
-    # Same flattened-2D form as fetch_3d (TPU layout padding; see there).
-    w12 = jnp.repeat(w1, n2, axis=-1) * jnp.tile(w2, (1,) * (w2.ndim - 1) + (n1,))
-    return jnp.sum(a * w12, axis=-1)
+    ).reshape(x0.shape + (n1, n2))
+    return jnp.sum(a * w1[..., :, None] * w2[..., None, :], axis=(-2, -1))
 
 
 def select_along(vals, best):
